@@ -1,0 +1,86 @@
+"""High-level API: NTTContext.
+
+The L3 layer (SURVEY.md §7): where the reference has a C++/XRT host driver
+(src/test.cpp:62-248) that loads an xclbin and programs DMA buffer
+descriptors, the TPU-native driver is a plan object holding jitted
+callables — XLA's compiled executable replaces insts.txt, jax.jit dispatch
+replaces xrt::kernel(...) (SURVEY.md §2 N11).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ntt_aie_tpu.config import NTTConfig
+from ntt_aie_tpu import reference as ref
+from ntt_aie_tpu import twiddles as tw
+
+
+class NTTContext:
+    """A compiled NTT plan: forward / inverse / polymul on device.
+
+    Usage:
+        ctx = NTTContext(NTTConfig(field=P_2013265921, log_n=20))
+        A = ctx.forward(a)           # device NTT
+        c = ctx.polymul(a, b)        # fused NTT -> pointwise -> INTT
+    """
+
+    def __init__(self, config: NTTConfig):
+        self.config = config
+        # Device plans are built lazily (imports jax only when used, so the
+        # pure-NumPy oracle path stays importable anywhere).
+        self._fwd = None
+        self._inv = None
+        self._polymul = None
+
+    # ---- host oracle paths (always available) ----
+
+    def forward_host(self, a) -> np.ndarray:
+        cfg = self.config
+        if cfg.table_convention == "reference":
+            table = tw.power_table(cfg.field, cfg.n)
+            out = ref.reference_network(a, table, cfg.field.p)
+            if cfg.ordering == "reference":
+                out = ref.block_permute(out)
+            return out
+        out = ref.ntt_dif(a, cfg.field)
+        if cfg.ordering == "natural":
+            out = out[tw.bit_reverse_indices(cfg.n)]
+        return out
+
+    def inverse_host(self, a) -> np.ndarray:
+        cfg = self.config
+        a = np.asarray(a)
+        if cfg.ordering == "natural":
+            a = a[tw.bit_reverse_indices(cfg.n)]
+        return ref.ntt_dit(a, cfg.field, inverse=True)
+
+    # ---- device paths ----
+
+    def _build(self):
+        from ntt_aie_tpu.plan import build_plan
+
+        plan = build_plan(self.config)
+        self._fwd, self._inv, self._polymul = plan.fwd, plan.inv, plan.polymul
+        self._plan = plan
+
+    @property
+    def plan(self):
+        if self._fwd is None:
+            self._build()
+        return self._plan
+
+    def forward(self, a):
+        if self._fwd is None:
+            self._build()
+        return self._fwd(a)
+
+    def inverse(self, a):
+        if self._inv is None:
+            self._build()
+        return self._inv(a)
+
+    def polymul(self, a, b):
+        if self._polymul is None:
+            self._build()
+        return self._polymul(a, b)

@@ -1,0 +1,189 @@
+"""Twiddle-factor planning.
+
+The reference broadcasts one full natural-order table ``table[i] = w^i`` to
+every tile (reference src/test.cpp:27-32 generation; src/aie2.py:96-104
+multicast FIFO) and indexes it per stage as ``table[h+i]``. That doesn't
+scale to n = 2^24 (SURVEY.md §7 hard part 5), so this planner produces:
+
+- the reference-compatible natural-order power table (for bit-exact parity),
+- per-stage packed twiddle vectors for the DIF/DIT stage loops, laid out so a
+  stage's multiply is a broadcast along the lane axis of the (rows, lanes)
+  matrix layout (no gathers on device),
+- four-step "super-twiddle" matrices w^(k1*j2) for the N = N1 x N2
+  decomposition, sliced per shard,
+- everything optionally premultiplied into Montgomery form so device-side
+  mont_mul(standard_data, mont_twiddle) yields standard-form products.
+
+All tables are computed in NumPy int64/object and delivered as uint32 (or
+2 x uint32 limbs for Goldilocks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ntt_aie_tpu.fields import PrimeField, modpow
+
+
+
+def _tw_dtype(p: int):
+    """int64 for word primes; Python bignum (object) for >=63-bit primes."""
+    return object if p >= (1 << 62) else np.int64
+
+def power_table(field: PrimeField, n: int, *, inverse: bool = False) -> np.ndarray:
+    """Natural-order table t[i] = w^i with w = g^((p-1)//n), as int64.
+
+    This is exactly the reference's make_roots output (src/test.cpp:27-32) —
+    including its *integer division* (p-1)/n: for the reference's committed
+    config (p=3329, n=2048) n does not divide p-1, so w = g^1 = 3 is not a
+    2048th root of unity at all. Bit-exact parity requires reproducing that.
+    Use root_of_unity()/dif_stage_twiddles() for true NTTs.
+    """
+    w = modpow(field.g, (field.p - 1) // n, field.p)
+    if inverse:
+        w = field.inv(w)
+    p = field.p
+    out = np.empty(n, dtype=_tw_dtype(p))
+    acc = 1
+    for i in range(n):
+        out[i] = acc
+        acc = (acc * w) % p
+    return out
+
+
+def bit_reverse_indices(n: int) -> np.ndarray:
+    """Bit-reversal permutation of [0, n)."""
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for _ in range(bits):
+        rev = (rev << 1) | (idx & 1)
+        idx >>= 1
+    return rev
+
+
+def dif_stage_twiddles(field: PrimeField, n: int, *, inverse: bool = False) -> list[np.ndarray]:
+    """Twiddles for the Gentleman-Sande DIF NTT, natural in -> bit-reversed out.
+
+    Stage s (s = 0..log2(n)-1) works at half-block size t = n >> (s+1); pairs
+    (j, j+t) inside blocks of 2t; butterfly (u+v, (u-v)*w[jj]) with
+    w[jj] = omega^(jj * 2^s) for jj in [0, t). Returns one int64 vector of
+    length t per stage.
+    """
+    logn = n.bit_length() - 1
+    w = field.root_of_unity(n)
+    if inverse:
+        w = field.inv(w)
+    p = field.p
+    stages = []
+    for s in range(logn):
+        t = n >> (s + 1)
+        step = 1 << s
+        vec = np.empty(t, dtype=_tw_dtype(p))
+        acc = 1
+        mult = modpow(w, step, p)
+        for jj in range(t):
+            vec[jj] = acc
+            acc = (acc * mult) % p
+        stages.append(vec)
+    return stages
+
+
+def dit_stage_twiddles(field: PrimeField, n: int, *, inverse: bool = False) -> list[np.ndarray]:
+    """Twiddles for the Cooley-Tukey DIT NTT, bit-reversed in -> natural out.
+
+    Stage s works at half-block size t = 2^s; butterfly
+    (u + w[jj]*v, u - w[jj]*v) with w[jj] = omega^(jj * n/(2t)).
+    Returns one int64 vector of length t per stage.
+    """
+    logn = n.bit_length() - 1
+    w = field.root_of_unity(n)
+    if inverse:
+        w = field.inv(w)
+    p = field.p
+    stages = []
+    for s in range(logn):
+        t = 1 << s
+        step = n >> (s + 1)
+        vec = np.empty(t, dtype=_tw_dtype(p))
+        acc = 1
+        mult = modpow(w, step, p)
+        for jj in range(t):
+            vec[jj] = acc
+            acc = (acc * mult) % p
+        stages.append(vec)
+    return stages
+
+
+def pack_stage_twiddles(stages: list[np.ndarray], n: int) -> np.ndarray:
+    """Pack per-stage vectors into one (logn, n//2) matrix, each stage's
+    vector tiled to length n//2 so device code can slice row s without
+    per-stage shapes. DIF stage s has length t = n>>(s+1): tile it
+    (n//2)//t times (the tile repeats across blocks, matching broadcast
+    semantics). DIT stage s has length t = 2^s: also tiles to n//2."""
+    half = n // 2
+    logn = n.bit_length() - 1
+    out = np.zeros((logn, half), dtype=stages[0].dtype)
+    for s, vec in enumerate(stages):
+        reps = half // len(vec)
+        out[s] = np.tile(vec, reps)
+    return out
+
+
+def fourstep_twiddle_matrix(
+    field: PrimeField, n1: int, n2: int, *, inverse: bool = False
+) -> np.ndarray:
+    """The (n1, n2) matrix W[k1, j2] = omega_{n1*n2}^(k1*j2), int64.
+
+    Used between the column-NTT and row-NTT passes of the four-step
+    decomposition (SURVEY.md §5.7). Computed with O(n1+n2) modpows plus an
+    outer-product-style row recurrence.
+    """
+    n = n1 * n2
+    w = field.root_of_unity(n)
+    if inverse:
+        w = field.inv(w)
+    p = field.p
+    # row k1 is geometric with ratio w^k1: W[k1, j2] = (w^k1)^j2
+    col0 = np.ones(n1, dtype=_tw_dtype(p))
+    ratios = np.empty(n1, dtype=_tw_dtype(p))
+    acc = 1
+    for k1 in range(n1):
+        ratios[k1] = acc
+        acc = (acc * w) % p
+    out = np.empty((n1, n2), dtype=_tw_dtype(p))
+    out[:, 0] = col0
+    cur = col0.copy()
+    for j2 in range(1, n2):
+        cur = (cur * ratios) % p
+        out[:, j2] = cur
+    return out
+
+
+def negacyclic_psi_powers(field: PrimeField, n: int, *, inverse: bool = False) -> np.ndarray:
+    """psi^i for i in [0, n) where psi is a primitive 2n-th root (psi^2 = omega).
+
+    Pre/post-scaling vectors for negacyclic convolution (X^n + 1 quotient
+    ring, RLWE-style; BASELINE.json config 3)."""
+    psi = field.root_of_unity(2 * n)
+    if inverse:
+        psi = field.inv(psi)
+    p = field.p
+    out = np.empty(n, dtype=_tw_dtype(p))
+    acc = 1
+    for i in range(n):
+        out[i] = acc
+        acc = (acc * psi) % p
+    return out
+
+
+def to_mont(field: PrimeField, table: np.ndarray) -> np.ndarray:
+    """Premultiply a twiddle table by R = 2^32 (Montgomery form), so that
+    REDC(data * table_mont) = data * table mod p with standard-form data."""
+    r = field.mont_r_mod_p
+    p = field.p
+    return (table.astype(object) * r % p).astype(np.int64)
+
+
+def as_uint32(table: np.ndarray) -> np.ndarray:
+    return table.astype(np.uint32)
