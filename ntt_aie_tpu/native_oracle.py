@@ -1,0 +1,133 @@
+"""ctypes binding to the native C++ golden oracle (native/oracle.cc).
+
+The reference keeps its golden model native (src/test.cpp:34-60); so do we:
+the compiled oracle pins exact 64-bit semantics independently of
+NumPy/Python, and generates large test vectors ~100x faster than the NumPy
+oracle. Builds on demand with `make -C native` (g++ only, no deps).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libnttoracle.so"
+_lib = None
+
+
+class NativeOracleUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    subprocess.run(
+        ["make", "-C", str(_NATIVE_DIR)],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+
+
+def load(build: bool = True) -> ctypes.CDLL:
+    """Load (building if needed) the native oracle library."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        if not build:
+            raise NativeOracleUnavailable(f"{_LIB_PATH} not built")
+        try:
+            _build()
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            raise NativeOracleUnavailable(f"native build failed: {e}") from e
+    lib = ctypes.CDLL(str(_LIB_PATH))
+
+    u64, u32, i64 = ctypes.c_uint64, ctypes.c_uint32, ctypes.c_int64
+    pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    pu64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+
+    lib.ntt_modpow.restype = u64
+    lib.ntt_modpow.argtypes = [u64, u64, u64]
+    lib.ntt_barrett_mulmod.restype = u32
+    lib.ntt_barrett_mulmod.argtypes = [u32, u32, u32, u32, u32]
+    lib.ntt_mont_mulmod.restype = u32
+    lib.ntt_mont_mulmod.argtypes = [u32, u32, u32, u32]
+    lib.ntt_goldilocks_mulmod.restype = u64
+    lib.ntt_goldilocks_mulmod.argtypes = [u64, u64]
+    lib.ntt_goldilocks_reduce128.restype = u64
+    lib.ntt_goldilocks_reduce128.argtypes = [u64, u64]
+    lib.ntt_reference_network.restype = None
+    lib.ntt_reference_network.argtypes = [pi64, i64, pi64, i64, i64]
+    lib.ntt_make_power_table.restype = None
+    lib.ntt_make_power_table.argtypes = [pi64, i64, i64, i64]
+    lib.ntt_block_permute16.restype = None
+    lib.ntt_block_permute16.argtypes = [pi64, pi64, i64]
+    lib.ntt_dif_u64.restype = None
+    lib.ntt_dif_u64.argtypes = [pu64, i64, u64, u64]
+    lib.ntt_dit_u64.restype = None
+    lib.ntt_dit_u64.argtypes = [pu64, i64, u64, u64, ctypes.c_int]
+    lib.ntt_dif_u64_batch.restype = None
+    lib.ntt_dif_u64_batch.argtypes = [pu64, i64, i64, u64, u64]
+
+    _lib = lib
+    return lib
+
+
+# ---- numpy-friendly wrappers ----
+
+def reference_network(a, table, p: int, stages: int | None = None) -> np.ndarray:
+    lib = load()
+    a = np.ascontiguousarray(a, dtype=np.int64).copy()
+    table = np.ascontiguousarray(table, dtype=np.int64)
+    s = len(a) if stages is None else stages
+    lib.ntt_reference_network(a, len(a), table, p, s)
+    return a
+
+
+def make_power_table(n: int, p: int, g: int) -> np.ndarray:
+    lib = load()
+    out = np.empty(n, dtype=np.int64)
+    lib.ntt_make_power_table(out, n, p, g)
+    return out
+
+
+def block_permute16(a) -> np.ndarray:
+    lib = load()
+    a = np.ascontiguousarray(a, dtype=np.int64)
+    out = np.empty_like(a)
+    lib.ntt_block_permute16(a, out, len(a))
+    return out
+
+
+def ntt_dif(a, omega: int, p: int) -> np.ndarray:
+    lib = load()
+    a = np.ascontiguousarray(a, dtype=np.uint64).copy()
+    lib.ntt_dif_u64(a, len(a), omega, p)
+    return a
+
+
+def ntt_dit(a, omega: int, p: int, scale: bool = False) -> np.ndarray:
+    lib = load()
+    a = np.ascontiguousarray(a, dtype=np.uint64).copy()
+    lib.ntt_dit_u64(a, len(a), omega, p, 1 if scale else 0)
+    return a
+
+
+def barrett_mulmod(a: int, b: int, p: int, w: int, u: int) -> int:
+    return int(load().ntt_barrett_mulmod(a, b, p, w, u))
+
+
+def mont_mulmod(a: int, b: int, p: int, neg_pinv: int) -> int:
+    return int(load().ntt_mont_mulmod(a, b, p, neg_pinv))
+
+
+def goldilocks_mulmod(a: int, b: int) -> int:
+    return int(load().ntt_goldilocks_mulmod(a, b))
+
+
+def goldilocks_reduce128(x: int) -> int:
+    return int(load().ntt_goldilocks_reduce128(x >> 64, x & ((1 << 64) - 1)))
