@@ -84,11 +84,12 @@ class NTTConfig:
         if self.rows_log2 is not None:
             r = self.rows_log2
         else:
-            # Square-ish, biased so N2 (lanes) >= 128 when possible and
-            # N2 divisible by num_shards * 128 for clean sharding.
-            r = self.log_n // 2
-            while self.log_n - r < 7 + (self.num_shards.bit_length() - 1) and r > 0:
-                r -= 1
+            # Square-ish, biased so N2 (the lane/shard axis) >= 128 lanes
+            # and divides cleanly by num_shards; small transforms stay flat.
+            shards_log2 = self.num_shards.bit_length() - 1
+            r = min(self.log_n - 7 - shards_log2, self.log_n // 2)
+            if r < 1:
+                r = self.log_n  # flat: N2 = 1, plain DIF
         return (1 << r, 1 << (self.log_n - r))
 
     def to_json(self) -> str:

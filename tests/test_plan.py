@@ -1,0 +1,145 @@
+"""Device-plan tests (XLA path on CPU backend): bit-exact vs NumPy oracle."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ntt_aie_tpu import fields as F
+from ntt_aie_tpu import reference as ref
+from ntt_aie_tpu import twiddles as tw
+from ntt_aie_tpu.config import NTTConfig
+from ntt_aie_tpu.api import NTTContext
+
+
+@pytest.mark.parametrize("field,red", [(F.KYBER, "barrett"), (F.P_2013265921, "montgomery")])
+@pytest.mark.parametrize("log_n", [4, 8])
+def test_flat_forward_matches_oracle(field, red, log_n, rng):
+    if field.max_n < (1 << log_n):
+        pytest.skip("n too big for field")
+    cfg = NTTConfig(field=field, log_n=log_n, reduction=red, rows_log2=log_n)
+    ctx = NTTContext(cfg)
+    a = rng.integers(0, field.p, cfg.n)
+    got = np.asarray(ctx.forward(jnp.asarray(a, dtype=jnp.uint32)))
+    want = ref.ntt_dif(a, field)  # flat path spectral order == bitrev == DIF order
+    assert np.array_equal(got.astype(np.int64), want)
+
+
+@pytest.mark.parametrize("log_n,rows_log2", [(8, 3), (10, 5), (12, 5), (14, 7)])
+def test_fourstep_forward_spectral_order(log_n, rows_log2, rng):
+    field = F.P_2013265921
+    cfg = NTTConfig(field=field, log_n=log_n, rows_log2=rows_log2)
+    ctx = NTTContext(cfg)
+    a = rng.integers(0, field.p, cfg.n)
+    flat = np.asarray(ctx.forward(jnp.asarray(a, dtype=jnp.uint32)))
+    # X[k] = flat[pos[k]]
+    pos = ctx.plan.spectral_to_natural
+    want_natural = ref.ntt_forward(a, field)  # natural order ground truth
+    assert np.array_equal(flat[pos].astype(np.int64), want_natural)
+
+
+@pytest.mark.parametrize("field", [F.KYBER, F.DILITHIUM, F.P_998244353, F.P_2013265921])
+def test_roundtrip_all_fields(field, rng):
+    log_n = min(8, field.max_n.bit_length() - 1)
+    cfg = NTTConfig(field=field, log_n=log_n)
+    ctx = NTTContext(cfg)
+    a = rng.integers(0, field.p, cfg.n)
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+    back = np.asarray(ctx.inverse(ctx.forward(aj)))
+    assert np.array_equal(back, a)
+
+
+def test_natural_ordering_roundtrip(rng):
+    field = F.P_2013265921
+    cfg = NTTConfig(field=field, log_n=12, ordering="natural")
+    ctx = NTTContext(cfg)
+    a = rng.integers(0, field.p, cfg.n)
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+    fwd = np.asarray(ctx.forward(aj))
+    assert np.array_equal(fwd.astype(np.int64), ref.ntt_forward(a, field))
+    assert np.array_equal(np.asarray(ctx.inverse(jnp.asarray(fwd))), a)
+
+
+@pytest.mark.parametrize("field", [F.KYBER, F.P_2013265921])
+def test_polymul_cyclic(field, rng):
+    log_n = min(7, field.max_n.bit_length() - 1)
+    n = 1 << log_n
+    cfg = NTTConfig(field=field, log_n=log_n)
+    ctx = NTTContext(cfg)
+    a = rng.integers(0, field.p, n)
+    b = rng.integers(0, field.p, n)
+    got = np.asarray(ctx.polymul(jnp.asarray(a, dtype=jnp.uint32), jnp.asarray(b, dtype=jnp.uint32)))
+    want = ref.schoolbook_cyclic(a, b, field.p)
+    assert np.array_equal(got.astype(object), want)
+
+
+def test_polymul_large_fourstep(rng):
+    field = F.P_2013265921
+    cfg = NTTConfig(field=field, log_n=12)
+    ctx = NTTContext(cfg)
+    n = cfg.n
+    a = rng.integers(0, field.p, n)
+    b = rng.integers(0, field.p, n)
+    got = np.asarray(ctx.polymul(jnp.asarray(a, dtype=jnp.uint32), jnp.asarray(b, dtype=jnp.uint32)))
+    want = ref.cyclic_polymul(a, b, field)
+    assert np.array_equal(got.astype(np.int64), want)
+
+
+def test_negacyclic_polymul_device(rng):
+    field = F.P_2013265921
+    cfg = NTTConfig(field=field, log_n=10, negacyclic=True)
+    ctx = NTTContext(cfg)
+    n = cfg.n
+    a = rng.integers(0, field.p, n)
+    b = rng.integers(0, field.p, n)
+    got = np.asarray(
+        ctx.plan.negacyclic_polymul(jnp.asarray(a, dtype=jnp.uint32), jnp.asarray(b, dtype=jnp.uint32))
+    )
+    want = ref.negacyclic_polymul(a, b, field)
+    assert np.array_equal(got.astype(np.int64), want)
+
+
+def test_reference_parity_device():
+    """The flagship parity test: device plan == reference device output,
+    logN=11, p=3329, a[i]=i (reference src/test.cpp:141, 203-219)."""
+    cfg = NTTConfig(
+        field=F.KYBER, log_n=11, table_convention="reference", ordering="reference"
+    )
+    ctx = NTTContext(cfg)
+    a = np.arange(1 << 11)
+    got = np.asarray(ctx.forward(jnp.asarray(a, dtype=jnp.uint32)))
+    want = ref.reference_device_output(a, F.KYBER, 1 << 11)
+    assert np.array_equal(got.astype(np.int64), want)
+
+
+def test_reference_parity_partial_depth():
+    """test_stage hook parity at every depth (src/test.cpp:55-57)."""
+    from ntt_aie_tpu.ops import stages as S
+    from ntt_aie_tpu.ops import modops  # noqa: F401
+
+    n = 1 << 8
+    field = F.KYBER
+    mul_const, _, table_form = S.make_mul("barrett", field)
+    table_np = tw.power_table(field, n)
+    table = jnp.asarray(table_form(table_np))
+    a = np.arange(n)
+    for stage in range(8):
+        got = np.asarray(
+            S.reference_network_stages(
+                jnp.asarray(a, dtype=jnp.uint32), table, field.p, mul_const, stages=stage
+            )
+        )
+        want = ref.reference_network(a, table_np, field.p, stages=stage)
+        assert np.array_equal(got.astype(np.int64), want), f"stage {stage}"
+
+
+def test_linearity_device(rng):
+    field = F.P_998244353
+    cfg = NTTConfig(field=field, log_n=11)
+    ctx = NTTContext(cfg)
+    p = field.p
+    a = rng.integers(0, p, cfg.n)
+    b = rng.integers(0, p, cfg.n)
+    fa = np.asarray(ctx.forward(jnp.asarray(a, dtype=jnp.uint32))).astype(np.int64)
+    fb = np.asarray(ctx.forward(jnp.asarray(b, dtype=jnp.uint32))).astype(np.int64)
+    fab = np.asarray(ctx.forward(jnp.asarray((a + b) % p, dtype=jnp.uint32))).astype(np.int64)
+    assert np.array_equal(fab, (fa + fb) % p)
