@@ -23,6 +23,7 @@ from ntt_aie_tpu.fields import (
     DILITHIUM,
     P_998244353,
     P_2013265921,
+    P_469762049,
     GOLDILOCKS,
     modpow,
     primitive_root,
@@ -39,6 +40,7 @@ __all__ = [
     "DILITHIUM",
     "P_998244353",
     "P_2013265921",
+    "P_469762049",
     "GOLDILOCKS",
     "modpow",
     "primitive_root",

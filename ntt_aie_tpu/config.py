@@ -23,7 +23,7 @@ class NTTConfig:
     Attributes:
       field: the prime field (modulus + generator).
       log_n: log2 of the transform size.
-      reduction: 'auto' | 'barrett' | 'montgomery' | 'goldilocks'.
+      reduction: 'auto' | 'barrett' | 'montgomery' | 'harvey' | 'goldilocks'.
       ordering: output ordering convention of the forward transform:
         'natural'   - true DFT order (costs one gather),
         'bitrev'    - DIF-native order (free; pointwise ops still work),
@@ -51,7 +51,7 @@ class NTTConfig:
     negacyclic: bool = False
 
     def __post_init__(self):
-        if self.reduction not in ("auto", "barrett", "montgomery", "goldilocks"):
+        if self.reduction not in ("auto", "barrett", "montgomery", "harvey", "goldilocks"):
             raise ValueError(f"unknown reduction {self.reduction!r}")
         if self.ordering not in ("natural", "bitrev", "reference"):
             raise ValueError(f"unknown ordering {self.ordering!r}")
@@ -73,9 +73,9 @@ class NTTConfig:
 
     @property
     def resolved_reduction(self) -> str:
-        if self.reduction != "auto":
-            return self.reduction
-        return self.field.default_reduction()
+        from ntt_aie_tpu.ops.reductions import resolve_kind
+
+        return resolve_kind(self.reduction, self.field)
 
     @property
     def split(self) -> tuple[int, int]:

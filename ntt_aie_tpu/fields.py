@@ -192,8 +192,15 @@ P_998244353 = PrimeField(p=998244353, g=3, name="p998244353")
 #: word-size prime for n up to 2^24 and beyond.
 P_2013265921 = PrimeField(p=2013265921, g=31, name="p2013265921")
 
+#: 469762049 = 7 * 2^26 + 1 (< 2^29), max n = 2^26 — the Harvey-eligible
+#: (p < 2^30) prime for the lazy-butterfly fast path at n up to 2^24.
+P_469762049 = PrimeField(p=469762049, g=3, name="p469762049")
+
 #: Goldilocks, p = 2^64 - 2^32 + 1, g = 7, max n = 2^32. The 64-bit-prime
 #: target (BASELINE.json config 4) via 32-bit limb decomposition.
 GOLDILOCKS = PrimeField(p=(1 << 64) - (1 << 32) + 1, g=7, name="goldilocks")
 
-FIELDS = {f.name: f for f in [KYBER, DILITHIUM, P_998244353, P_2013265921, GOLDILOCKS]}
+FIELDS = {
+    f.name: f
+    for f in [KYBER, DILITHIUM, P_998244353, P_2013265921, P_469762049, GOLDILOCKS]
+}

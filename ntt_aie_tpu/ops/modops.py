@@ -24,10 +24,15 @@ integer ops are bit-exact across XLA backends.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
-U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+U32 = jnp.uint32  # dtype for casts
+# Scalar constants must be numpy scalars (not jnp arrays): Pallas kernels
+# cannot close over device-array constants, and numpy scalars fold into the
+# jaxpr as literals.
+C32 = np.uint32
+_MASK16 = np.uint32(0xFFFF)
 
 
 def _u32(x):
@@ -74,20 +79,20 @@ def umul32_wide(a, b):
 def add_mod(a, b, p: int):
     """(a + b) mod p for a, b in [0, p), p < 2^31 (sum fits uint32)."""
     s = _u32(a) + _u32(b)
-    return jnp.where(s >= U32(p), s - U32(p), s)
+    return jnp.where(s >= C32(p), s - C32(p), s)
 
 
 def sub_mod(a, b, p: int):
     """(a - b) mod p for a, b in [0, p)."""
     a = _u32(a)
     b = _u32(b)
-    d = a + (U32(p) - b)             # in [0, 2p) — no wrap since 2p < 2^32
-    return jnp.where(d >= U32(p), d - U32(p), d)
+    d = a + (C32(p) - b)             # in [0, 2p) — no wrap since 2p < 2^32
+    return jnp.where(d >= C32(p), d - C32(p), d)
 
 
 def neg_mod(a, p: int):
     a = _u32(a)
-    return jnp.where(a == 0, a, U32(p) - a)
+    return jnp.where(a == 0, a, C32(p) - a)
 
 
 # ---------------------------------------------------------------------------
@@ -100,9 +105,9 @@ def barrett_mul(a, b, p: int, w: int, u: int):
     scalar model ntt_barrett_mulmod."""
     t = _u32(a) * _u32(b)
     x1 = t >> (w - 2)
-    s = (x1 * U32(u)) >> (w + 2)
-    c = t - s * U32(p)
-    return jnp.where(c >= U32(p), c - U32(p), c)
+    s = (x1 * C32(u)) >> (w + 2)
+    c = t - s * C32(p)
+    return jnp.where(c >= C32(p), c - C32(p), c)
 
 
 # ---------------------------------------------------------------------------
@@ -118,9 +123,9 @@ def mont_redc(hi, lo, p: int, neg_pinv: int):
     lo + mullo(m, p) is either 0 (lo == 0) or exactly 2^32.
     """
     lo = _u32(lo)
-    m = lo * U32(neg_pinv)
-    t = _u32(hi) + umulhi32(m, U32(p)) + (lo != 0).astype(U32)
-    return jnp.where(t >= U32(p), t - U32(p), t)
+    m = lo * C32(neg_pinv)
+    t = _u32(hi) + umulhi32(m, C32(p)) + (lo != 0).astype(U32)
+    return jnp.where(t >= C32(p), t - C32(p), t)
 
 
 def mont_mul(a, b, p: int, neg_pinv: int):
@@ -140,20 +145,20 @@ def mont_sqr(a, p: int, neg_pinv: int):
 
 GL_P_HI = 0xFFFFFFFF
 GL_P_LO = 0x00000001
-_EPS = jnp.uint32(0xFFFFFFFF)  # 2^32 - 1 = 2^64 mod p
+_EPS = np.uint32(0xFFFFFFFF)  # 2^32 - 1 = 2^64 mod p
 
 
 def _ge_p_gl(hi, lo):
     """value >= p for a (hi, lo) pair; p = (0xffffffff, 0x00000001)."""
-    return (hi == _EPS) & (lo >= U32(GL_P_LO))
+    return (hi == _EPS) & (lo >= C32(GL_P_LO))
 
 
 def gl_canonical(hi, lo):
     """Conditional subtract p once (inputs < 2p fold to [0, p))."""
     ge = _ge_p_gl(hi, lo)
     # subtract p = 2^64 - 2^32 + 1: lo' = lo - 1 (borrow), hi' = hi - 0xffffffff - borrow
-    blo = lo - U32(GL_P_LO)
-    borrow = (lo < U32(GL_P_LO)).astype(U32)
+    blo = lo - C32(GL_P_LO)
+    borrow = (lo < C32(GL_P_LO)).astype(U32)
     bhi = hi - _EPS - borrow
     return jnp.where(ge, bhi, hi), jnp.where(ge, blo, lo)
 
@@ -212,7 +217,7 @@ def gl_mul(ahi, alo, bhi, blo):
     r0 = l00
     r1, c1 = _add3_with_carry(h00, l01, l10)
     r2a, c2a = _add3_with_carry(h01, h10, l11)
-    r2, c2b = _add3_with_carry(r2a, c1, U32(0))
+    r2, c2b = _add3_with_carry(r2a, c1, C32(0))
     r3 = h11 + c2a + c2b  # < 2^32: full product < 2^128
 
     # reduce: x ≡ (r1:r0) + r2*eps - r3  (mod p), eps = 2^32 - 1
@@ -222,7 +227,7 @@ def gl_mul(ahi, alo, bhi, blo):
     thi = r1 - borrow
     under = (r1 == 0) & (borrow == 1)
     # add p on underflow: (hi, lo) += (0xffffffff, 1)
-    plo = tlo + U32(1)
+    plo = tlo + C32(1)
     pc = (plo < tlo).astype(U32)
     phi = thi + _EPS + pc
     thi = jnp.where(under, phi, thi)
@@ -230,7 +235,7 @@ def gl_mul(ahi, alo, bhi, blo):
 
     # step 2: u = r2 * eps = (r2 << 32) - r2 = (r2 - (r2 != 0), -r2)
     uhi = r2 - (r2 != 0).astype(U32)
-    ulo = U32(0) - r2
+    ulo = C32(0) - r2
 
     # step 3: s = t + u with 2^64-wrap adding eps
     lo = tlo + ulo

@@ -1,0 +1,295 @@
+"""Fused Pallas column-pass NTT kernels.
+
+This is the L1 kernel layer (SURVEY.md §7): the TPU-native replacement for
+the reference's per-tile device kernel ``ntt_stage0_to_Nminus5``
+(reference src/aie_core.cc:189-361). Differences by design:
+
+- The reference spends stages 0-3 on register shuffles because its strides
+  fall below the 16-lane vector width (src/aie_core.cc:211-336). Here the
+  data is a (N1, lanes) matrix and *every* stage slices the sublane axis;
+  the 128-lane axis is pure SIMD (SURVEY.md §7 hard part 2).
+- The reference pipelines HBM<->tile traffic with depth-2 ObjectFIFOs
+  (src/aie2.py:28,90-115). Here the Pallas grid pipeline double-buffers
+  HBM->VMEM slab fetches automatically.
+- All log2(N1) stages and the four-step twiddle multiply are fused into ONE
+  kernel invocation per slab: the matrix is read from HBM once and written
+  once per pass, vs. once per stage for the unfused XLA path.
+- Butterfly multiplies go through a Reduction strategy; the default Harvey
+  path costs 6 uint32 muls per butterfly (uint32 mul is the VPU's scarce
+  resource), with lazy [0,2p) values canonicalized once in the epilogue.
+
+One kernel shape, four uses: forward column pass (DIF, + post twiddle),
+inverse column pass (DIT, + pre twiddle), each over either axis of the
+four-step decomposition. Canonicalization fuses into the last pass.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ntt_aie_tpu.ops.reductions import Reduction, make_reduction
+
+
+def _stage_shapes(n1: int, direction: str) -> list[int]:
+    logn = n1.bit_length() - 1
+    if direction == "dif":
+        return [n1 >> (s + 1) for s in range(logn)]
+    return [1 << s for s in range(logn)]
+
+
+def build_colpass(
+    *,
+    n1: int,
+    n2: int,
+    red: Reduction,
+    direction: str,  # 'dif' | 'dit'
+    twiddle_pos: str = "none",  # 'none' | 'pre' | 'post'
+    canonicalize: bool = False,
+    block_lanes: int | None = None,
+    batch: int = 1,
+    interpret: bool = False,
+):
+    """Returns a pallas_call fn(x, *stage_tw_cols, *[wmat tables]) -> y
+    running all butterfly stages (and optionally the four-step twiddle
+    multiply) on (n1, block_lanes) VMEM slabs, gridded over n2 // block_lanes.
+
+    x: (n1, n2) uint32 — or (batch, n1, n2) when batch > 1 (the batch rides
+    a leading grid axis; twiddles are shared across the batch). Each stage
+    twiddle is red.n_tables arrays of shape (t_s, 1); wmat is red.n_tables
+    arrays of shape (n1, n2).
+    """
+    logn = n1.bit_length() - 1
+    ts = _stage_shapes(n1, direction)
+    nt = red.n_tables
+    if block_lanes is None:
+        # Keep the slab small enough that the ~16 live slab-sized stage
+        # temporaries fit scoped VMEM; lanes multiple of 128.
+        block_lanes = max(128, min(512, (1 << 17) // max(n1, 1)))
+    block_lanes = min(block_lanes, n2)
+    assert n2 % block_lanes == 0
+    grid = n2 // block_lanes
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        tw_refs = refs[1 : 1 + logn * nt]
+        idx = 1 + logn * nt
+        wmat_refs = refs[idx : idx + nt] if twiddle_pos != "none" else ()
+        out_ref = refs[-1]
+
+        x = x_ref[:]
+        if batch > 1:
+            x = x.reshape(x.shape[-2], x.shape[-1])
+        if twiddle_pos == "pre":
+            wm = tuple(r[:].reshape(x.shape) for r in wmat_refs)
+            x = red.mul_const(x, *wm)
+        c = x.shape[1]
+        for s in range(logn):
+            t = ts[s]
+            blocks = n1 // (2 * t)
+            xr = x.reshape(blocks, 2, t, c)
+            u = xr[:, 0]
+            v = xr[:, 1]
+            ws = tuple(tw_refs[s * nt + k][:].reshape(1, t, 1) for k in range(nt))
+            if direction == "dif":
+                new_u = red.add(u, v)
+                new_v = red.mul_const(red.sub(u, v), *ws)
+            else:
+                wv = red.mul_const(v, *ws)
+                new_u = red.add(u, wv)
+                new_v = red.sub(u, wv)
+            x = jnp.stack([new_u, new_v], axis=1).reshape(n1, c)
+        if twiddle_pos == "post":
+            wm = tuple(r[:].reshape(x.shape) for r in wmat_refs)
+            x = red.mul_const(x, *wm)
+        if canonicalize:
+            x = red.canonicalize(x)
+        out_ref[:] = x.reshape(out_ref.shape)
+
+    if batch == 1:
+        slab_spec = pl.BlockSpec(
+            (n1, block_lanes), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        wmat_spec = slab_spec
+        tw_specs = [
+            pl.BlockSpec((t, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for t in ts
+            for _ in range(nt)
+        ]
+        full_grid = (grid,)
+        out_shape = jax.ShapeDtypeStruct((n1, n2), jnp.uint32)
+    else:
+        slab_spec = pl.BlockSpec(
+            (1, n1, block_lanes), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+        )
+        wmat_spec = pl.BlockSpec(
+            (n1, block_lanes), lambda b, i: (0, i), memory_space=pltpu.VMEM
+        )
+        tw_specs = [
+            pl.BlockSpec((t, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM)
+            for t in ts
+            for _ in range(nt)
+        ]
+        full_grid = (batch, grid)
+        out_shape = jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32)
+    in_specs = [slab_spec] + tw_specs
+    if twiddle_pos != "none":
+        in_specs.extend([wmat_spec] * nt)
+
+    butterflies = (n1 // 2) * logn * block_lanes
+    return pl.pallas_call(
+        kernel,
+        grid=full_grid,
+        in_specs=in_specs,
+        out_specs=slab_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * butterflies * grid,
+            bytes_accessed=(2 + (twiddle_pos != "none")) * n1 * n2 * 4,
+            transcendentals=0,
+        ),
+    )
+
+
+def make_transpose(n1: int, n2: int, *, tile: int = 256, batch: int = 1,
+                   interpret: bool = False):
+    """Tiled (n1, n2) -> (n2, n1) uint32 transpose as a Pallas kernel.
+
+    XLA's materialized uint32 transpose measured ~300-500us for 4 MB on
+    v5e; this tiled kernel (read (T,T) block, transpose in VMEM, write to
+    the mirrored block) measures ~1us when the operands are VMEM-resident.
+    """
+    tile = min(tile, n1, n2)
+    # Mosaic requires block dims divisible by (8, 128) or equal to the full
+    # array dims; fall back to a single whole-matrix block for small shapes.
+    if tile % 128 != 0:
+        tile = max(n1, n2)
+    tile = min(tile, n1, n2)
+    if n1 % tile or n2 % tile or (tile % 128 and (tile != n1 or tile != n2)):
+        tile = None  # whole-matrix, no grid
+
+    if tile is None:
+        if batch == 1:
+            def tk_full(x_ref, o_ref):
+                o_ref[:] = x_ref[:].T
+
+            return pl.pallas_call(
+                tk_full,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((n2, n1), jnp.uint32),
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            )
+
+        def tk_full_b(x_ref, o_ref):
+            o_ref[:] = jnp.transpose(x_ref[:], (0, 2, 1))
+
+        return pl.pallas_call(
+            tk_full_b,
+            grid=(batch,),
+            in_specs=[pl.BlockSpec((1, n1, n2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, n2, n1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((batch, n2, n1), jnp.uint32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+    if batch == 1:
+        def tkern(x_ref, o_ref):
+            o_ref[:] = x_ref[:].T
+
+        return pl.pallas_call(
+            tkern,
+            grid=(n1 // tile, n2 // tile),
+            in_specs=[pl.BlockSpec((tile, tile), lambda i, j: (i, j), memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((tile, tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n2, n1), jnp.uint32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+    def tkern_b(x_ref, o_ref):
+        o_ref[:] = jnp.transpose(x_ref[:], (0, 2, 1))
+
+    return pl.pallas_call(
+        tkern_b,
+        grid=(batch, n1 // tile, n2 // tile),
+        in_specs=[pl.BlockSpec((1, tile, tile), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tile, tile), lambda b, i, j: (b, j, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, n2, n1), jnp.uint32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+
+class PallasColpass:
+    """Bundles the pallas_call with its prepared twiddle operands."""
+
+    def __init__(self, fn, tw_cols: list, wmat_tables: tuple | None):
+        self.fn = fn
+        self.tw_cols = [jnp.asarray(t) for t in tw_cols]
+        self.wmat = (
+            tuple(jnp.asarray(w) for w in wmat_tables) if wmat_tables else None
+        )
+
+    def __call__(self, x):
+        args = [x] + self.tw_cols
+        if self.wmat is not None:
+            args.extend(self.wmat)
+        return self.fn(*args)
+
+
+def make_colpass(
+    field,
+    n1: int,
+    n2: int,
+    *,
+    reduction: str,
+    direction: str,
+    inverse_tw: bool = False,
+    wmat: np.ndarray | None = None,
+    twiddle_pos: str = "none",
+    canonicalize: bool = False,
+    interpret: bool = False,
+    block_lanes: int | None = None,
+    batch: int = 1,
+) -> PallasColpass:
+    """Build a column pass for n1-point NTTs over an (n1, n2) matrix.
+
+    wmat: optional host-side int64/object (n1, n2) twiddle matrix (any
+    bit-reversal baked in by the caller), applied at twiddle_pos.
+    """
+    from ntt_aie_tpu import twiddles as tw
+
+    red = make_reduction(reduction, field)
+    if direction == "dif":
+        vecs = tw.dif_stage_twiddles(field, n1, inverse=inverse_tw)
+    else:
+        vecs = tw.dit_stage_twiddles(field, n1, inverse=inverse_tw)
+    tw_cols: list[np.ndarray] = []
+    for v in vecs:
+        for tab in red.prepare_table(v):
+            tw_cols.append(np.ascontiguousarray(tab.reshape(-1, 1)))
+    wmat_tables = red.prepare_table(wmat) if wmat is not None else None
+    fn = build_colpass(
+        n1=n1,
+        n2=n2,
+        red=red,
+        direction=direction,
+        twiddle_pos=twiddle_pos,
+        canonicalize=canonicalize,
+        interpret=interpret,
+        block_lanes=block_lanes,
+        batch=batch,
+    )
+    return PallasColpass(fn, tw_cols, wmat_tables)

@@ -1,0 +1,155 @@
+"""Reduction strategies: how butterflies multiply on device.
+
+A Reduction bundles everything the stage loops / Pallas kernels need:
+
+- ``prepare_table(np_table) -> tuple[np.uint32 arrays]`` — device form of a
+  twiddle table (1 array for Barrett/Montgomery, 2 for Harvey: w and the
+  Shoup precomputation w' = floor(w * 2^32 / p)).
+- ``mul_const(x, *tables)`` — x * w in the strategy's value domain.
+- ``add/sub`` — modular add/sub in the value domain.
+- ``canonicalize(x)`` — fold the domain to canonical [0, p).
+- ``lazy`` — True when the domain is [0, 2p) (Harvey).
+
+Strategies:
+
+- BarrettReduction  — p < 2^14, canonical domain, 1 low mul + shifts
+  (the reference's own scheme, src/aie_core.cc:27-39).
+- MontgomeryReduction — odd p < 2^31, canonical domain, ~10 muls per
+  product (REDC with 16-bit-limb umulhi).
+- HarveyReduction  — p < 2^30, lazy [0, 2p) domain, 6 muls per product:
+  Shoup's mul-by-constant [q = umulhi(t, w'); r = t*w - q*p in (0, 2p)]
+  with Harvey's lazy butterflies (Harvey 2014, "Faster arithmetic for
+  number-theoretic transforms"). This is the default hot path: TPU uint32
+  multiply is the scarce resource (~4x slower than f32 mul on the VPU), so
+  fewer muls beats fancier reductions.
+
+All methods are pure jnp over uint32 and legal inside Pallas kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+from ntt_aie_tpu.ops import modops as M
+
+
+@dataclasses.dataclass(frozen=True)
+class Reduction:
+    name: str
+    p: int
+    lazy: bool
+    n_tables: int
+    prepare_table: Callable  # np int64/object table -> tuple of np.uint32
+    mul_const: Callable      # (x, *table_arrays) -> x*w in domain
+    mul_data: Callable       # (x, y) canonical inputs -> canonical product
+    add: Callable
+    sub: Callable
+    canonicalize: Callable
+
+
+def make_reduction(kind: str, field) -> Reduction:
+    p = field.p
+
+    if kind == "barrett":
+        w_, u_ = field.barrett_w, field.barrett_u
+
+        def prep(t):
+            return (np.ascontiguousarray(t.astype(np.uint32)),)
+
+        def mulc(x, tw):
+            return M.barrett_mul(x, tw, p, w_, u_)
+
+        return Reduction(
+            name="barrett", p=p, lazy=False, n_tables=1,
+            prepare_table=prep, mul_const=mulc, mul_data=mulc,
+            add=lambda a, b: M.add_mod(a, b, p),
+            sub=lambda a, b: M.sub_mod(a, b, p),
+            canonicalize=lambda x: x,
+        )
+
+    if kind == "montgomery":
+        neg_pinv = field.mont_neg_pinv
+        r = field.mont_r_mod_p
+        r2 = field.mont_r2_mod_p
+
+        def prep(t):
+            # uint64 vector math is exact here: values < p < 2^31, r < 2^31
+            t64 = t.astype(np.uint64)
+            return (((t64 * np.uint64(r)) % np.uint64(p)).astype(np.uint32),)
+
+        def mulc(x, tw):
+            return M.mont_mul(x, tw, p, neg_pinv)
+
+        def muld(x, y):
+            return M.mont_mul(M.mont_mul(x, y, p, neg_pinv), np.uint32(r2), p, neg_pinv)
+
+        return Reduction(
+            name="montgomery", p=p, lazy=False, n_tables=1,
+            prepare_table=prep, mul_const=mulc, mul_data=muld,
+            add=lambda a, b: M.add_mod(a, b, p),
+            sub=lambda a, b: M.sub_mod(a, b, p),
+            canonicalize=lambda x: x,
+        )
+
+    if kind == "harvey":
+        if p >= (1 << 30):
+            raise ValueError(f"harvey requires p < 2^30, got {p}")
+        neg_pinv = field.mont_neg_pinv  # for pointwise products
+        r2 = field.mont_r2_mod_p
+        p2 = np.uint32(2 * p)
+        pc = np.uint32(p)
+
+        def prep(t):
+            # w < p < 2^30 so (w << 32) < 2^62 fits uint64 exactly
+            t64 = t.astype(np.uint64)
+            w = t64.astype(np.uint32)
+            w_shoup = ((t64 << np.uint64(32)) // np.uint64(p)).astype(np.uint32)
+            return (np.ascontiguousarray(w), np.ascontiguousarray(w_shoup))
+
+        def mulc(x, w, w_shoup):
+            # Shoup: q = hi(x * w'); r = x*w - q*p in [0, 2p). Any x < 2^32.
+            q = M.umulhi32(x, w_shoup)
+            return jnp.asarray(x, jnp.uint32) * jnp.asarray(w, jnp.uint32) - q * pc
+
+        def muld(x, y):
+            # canonical product of possibly-lazy inputs: REDC valid since
+            # x*y < 4p^2 < p*2^32 (p < 2^30), then Montgomery-form fixup.
+            return M.mont_mul(M.mont_mul(x, y, p, neg_pinv), np.uint32(r2), p, neg_pinv)
+
+        def add(a, b):
+            s = jnp.asarray(a, jnp.uint32) + b
+            return jnp.where(s >= p2, s - p2, s)
+
+        def sub(a, b):
+            d = jnp.asarray(a, jnp.uint32) + (p2 - b)
+            return jnp.where(d >= p2, d - p2, d)
+
+        def canon(x):
+            return jnp.where(x >= pc, x - pc, x)
+
+        return Reduction(
+            name="harvey", p=p, lazy=True, n_tables=2,
+            prepare_table=prep, mul_const=mulc, mul_data=muld,
+            add=add, sub=sub, canonicalize=canon,
+        )
+
+    raise ValueError(f"unknown reduction kind {kind!r}")
+
+
+def resolve_kind(config_reduction: str, field) -> str:
+    """'auto' prefers harvey (fewest multiplies) when p < 2^30."""
+    if config_reduction != "auto":
+        return config_reduction
+    if field.supports_barrett32:
+        return "barrett"
+    if field.p < (1 << 30) and field.p % 2 == 1:
+        return "harvey"
+    if field.supports_mont32:
+        return "montgomery"
+    if field.is_goldilocks:
+        return "goldilocks"
+    raise ValueError(f"no reduction strategy for p={field.p}")

@@ -5,7 +5,7 @@ N = N1 x N2 and input viewed row-major as an (N1, N2) matrix,
 
     fwd = flatten . colDIF_{N2} . transpose . (* W) . colDIF_{N1} . reshape
 
-where colDIF is the stage loop of ops/stages.py (butterflies along sublanes)
+where colDIF is a fused butterfly column pass (butterflies along sublanes)
 and W[r, j2] = omega^(br1(r) * j2) has the DIF output bit-reversal baked in
 host-side. The flat output is in a fixed "spectral" order:
 
@@ -14,20 +14,23 @@ host-side. The flat output is in a fixed "spectral" order:
 Pointwise products are order-agnostic, so polymul never permutes; a natural-
 order gather is planned only when config.ordering == 'natural'.
 
-The inverse runs the mirror (colDIT passes), with the full 1/N scale — and,
+The inverse runs the mirror (colDIT passes) with the full 1/N scale — and,
 on the Montgomery path, the stray R^-1 from pointwise products — folded into
 the inverse twiddle matrix, so no extra passes over the data.
 
-This module is the XLA-compiled engine; the Pallas kernels in
-ops/pallas_ntt.py plug into the same plan as a fused alternative for the
-single-chip hot path. Multi-chip plans shard the same passes with shard_map
-(parallel/fourstep.py).
+Two interchangeable engines run the column passes:
+- 'xla'    — ops/stages.py loops under jit (runs anywhere; also the
+             multi-device shard_map building block),
+- 'pallas' — ops/pallas_ntt.py fused kernels (single kernel per pass,
+             HBM read/written once per pass; the TPU hot path).
+
+Lazy-domain note: with the Harvey reduction, values travel in [0, 2p)
+through all passes and are canonicalized exactly once at pipeline exit.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional
 
 import numpy as np
@@ -38,6 +41,7 @@ from ntt_aie_tpu.config import NTTConfig
 from ntt_aie_tpu import twiddles as tw
 from ntt_aie_tpu import reference as ref
 from ntt_aie_tpu.ops import stages as S
+from ntt_aie_tpu.ops.reductions import make_reduction, resolve_kind
 
 
 @dataclasses.dataclass
@@ -48,119 +52,202 @@ class Plan:
     polymul: Callable
     negacyclic_polymul: Optional[Callable]
     spectral_to_natural: Optional[np.ndarray]  # gather indices, or None
-    tables_bytes: int
+    engine: str
+    reduction: str
+    # make_batched(B) -> dict(fwd=..., inv=..., polymul=...) over (B, n)
+    # uint32 arrays. Throughput path: batching amortizes per-dispatch and
+    # per-kernel-launch latency (the dominant cost for single transforms on
+    # a tunneled chip) and widens the lane dimension.
+    _batched_builder: Optional[Callable] = None
+    _batched_cache: dict = dataclasses.field(default_factory=dict)
+
+    def make_batched(self, batch: int) -> dict:
+        if batch not in self._batched_cache:
+            if self._batched_builder is None:
+                raise NotImplementedError("no batched path for this plan")
+            self._batched_cache[batch] = self._batched_builder(batch)
+        return self._batched_cache[batch]
 
 
-def _u32c(t: np.ndarray) -> jnp.ndarray:
-    return jnp.asarray(np.ascontiguousarray(t.astype(np.uint32)))
+def _dev(tables: tuple) -> tuple:
+    return tuple(jnp.asarray(np.ascontiguousarray(t)) for t in tables)
 
 
-def build_plan(config: NTTConfig, *, use_pallas: str = "auto") -> Plan:
+def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = False) -> Plan:
+    """engine: 'auto' (pallas on TPU, xla elsewhere), 'pallas', 'xla'."""
     field = config.field
-    n = config.n
-    p = field.p
-    red = config.resolved_reduction
+    kind = resolve_kind(config.reduction, field)
 
     if config.table_convention == "reference":
-        return _build_reference_plan(config)
-    if red == "goldilocks":
-        return _build_goldilocks_plan(config)
+        return _build_reference_plan(config, kind)
+    if kind == "goldilocks":
+        from ntt_aie_tpu.goldilocks_plan import build_goldilocks_plan
 
-    mul_const, mul_data, table_form = S.make_mul(red, field)
+        return build_goldilocks_plan(config, engine=engine, interpret=interpret)
+
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    n = config.n
+    p = field.p
+    red = make_reduction(kind, field)
     n1, n2 = config.split
 
-    # ---- host-side table preparation ----
+    # ---- host-side tables ----
     br1 = tw.bit_reverse_indices(n1)
-    tw1 = _u32c(table_form(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n1), n1)))
-    itw1 = _u32c(table_form(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n1, inverse=True), n1)))
     if n2 > 1:
         br2 = tw.bit_reverse_indices(n2)
-        tw2 = _u32c(table_form(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n2), n2)))
-        itw2 = _u32c(table_form(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n2, inverse=True), n2)))
-        wmat = tw.fourstep_twiddle_matrix(field, n1, n2)[br1, :]
-        wmat_dev = _u32c(table_form(wmat))
         n_inv = field.inv(n)
+        wmat = tw.fourstep_twiddle_matrix(field, n1, n2)[br1, :]
         iwmat = tw.fourstep_twiddle_matrix(field, n1, n2, inverse=True)[br1, :]
-        iwmat_scaled = iwmat.astype(object) * n_inv % p
-        iwmat_dev = _u32c(table_form(iwmat_scaled))
-        if red == "montgomery":
-            # polymul inverse also cancels the R^-1 left by the pointwise REDC
-            iwmat_poly = iwmat_scaled * field.mont_r_mod_p % p
-            iwmat_poly_dev = _u32c(table_form(iwmat_poly))
+        iwmat_scaled = (iwmat.astype(np.uint64) * np.uint64(n_inv) % np.uint64(p)).astype(np.int64)
+        if kind == "montgomery":
+            iwmat_poly = (iwmat_scaled.astype(np.uint64) * np.uint64(field.mont_r_mod_p) % np.uint64(p)).astype(np.int64)
         else:
-            iwmat_poly_dev = iwmat_dev
+            iwmat_poly = iwmat_scaled
+        pos = (br2[np.arange(n) // n1] * n1 + br1[np.arange(n) % n1]).astype(np.int32)
     else:
         n_inv = field.inv(n)
-        # flat path scale vector (folded into last DIT stage via a 1-element table)
-        scale = _u32c(table_form(np.array([n_inv], dtype=np.int64)))
-        scale_poly = (
-            _u32c(table_form(np.array([n_inv * field.mont_r_mod_p % p], dtype=np.int64)))
-            if red == "montgomery"
-            else scale
-        )
+        scale = np.full(1, n_inv, dtype=object)
+        if kind == "montgomery":
+            scale_poly = scale * field.mont_r_mod_p % p
+        else:
+            scale_poly = scale
+        pos = tw.bit_reverse_indices(n).astype(np.int32)
 
-    # ---- device functions ----
-    if n2 > 1:
+    # ---- column-pass engines ----
+    if n2 > 1 and engine == "pallas":
+        from ntt_aie_tpu.ops import pallas_ntt as PN
+
+        cp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dif",
+                              wmat=wmat, twiddle_pos="post", interpret=interpret)
+        cp2 = PN.make_colpass(field, n2, n1, reduction=kind, direction="dif",
+                              canonicalize=True, interpret=interpret)
+        icp2 = PN.make_colpass(field, n2, n1, reduction=kind, direction="dit",
+                               inverse_tw=True, interpret=interpret)
+        icp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
+                               inverse_tw=True, wmat=iwmat_scaled, twiddle_pos="pre",
+                               canonicalize=True, interpret=interpret)
+        icp1_poly = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
+                                    inverse_tw=True, wmat=iwmat_poly, twiddle_pos="pre",
+                                    canonicalize=True, interpret=interpret)
+        tr12 = PN.make_transpose(n1, n2, interpret=interpret)
+        tr21 = PN.make_transpose(n2, n1, interpret=interpret)
 
         def fwd_fn(a):
             x = a.astype(jnp.uint32).reshape(n1, n2)
-            x = S.dif_stages(x, tw1, p, mul_const)
-            x = mul_const(x, wmat_dev)
+            return cp2(tr12(cp1(x))).reshape(n)
+
+        def _inv_core(a, icp1_):
+            x = a.astype(jnp.uint32).reshape(n2, n1)
+            x = icp2(x)
+            return icp1_(tr21(x)).reshape(n)
+
+        inv_fn = lambda a: _inv_core(a, icp1)  # noqa: E731
+        inv_poly_fn = lambda a: _inv_core(a, icp1_poly)  # noqa: E731
+
+        def batched_builder(B):
+            cp1b = PN.make_colpass(field, n1, n2, reduction=kind, direction="dif",
+                                   wmat=wmat, twiddle_pos="post", batch=B, interpret=interpret)
+            cp2b = PN.make_colpass(field, n2, n1, reduction=kind, direction="dif",
+                                   canonicalize=True, batch=B, interpret=interpret)
+            icp2b = PN.make_colpass(field, n2, n1, reduction=kind, direction="dit",
+                                    inverse_tw=True, batch=B, interpret=interpret)
+            icp1b = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
+                                    inverse_tw=True, wmat=iwmat_scaled, twiddle_pos="pre",
+                                    canonicalize=True, batch=B, interpret=interpret)
+            icp1pb = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
+                                     inverse_tw=True, wmat=iwmat_poly, twiddle_pos="pre",
+                                     canonicalize=True, batch=B, interpret=interpret)
+            trb12 = PN.make_transpose(n1, n2, batch=B, interpret=interpret)
+            trb21 = PN.make_transpose(n2, n1, batch=B, interpret=interpret)
+
+            def fwd_b(a):
+                x = a.astype(jnp.uint32).reshape(B, n1, n2)
+                return cp2b(trb12(cp1b(x))).reshape(B, n)
+
+            def inv_b_core(a, icp):
+                x = a.astype(jnp.uint32).reshape(B, n2, n1)
+                return icp(trb21(icp2b(x))).reshape(B, n)
+
+            def polymul_b(a, b):
+                fa = fwd_b(a)
+                fb = fwd_b(b)
+                if kind == "montgomery":
+                    from ntt_aie_tpu.ops import modops as M
+
+                    fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
+                else:
+                    fc = red.mul_data(fa, fb)
+                return inv_b_core(fc, icp1pb)
+
+            return {
+                "fwd": jax.jit(fwd_b),
+                "inv": jax.jit(lambda a: inv_b_core(a, icp1b)),
+                "polymul": jax.jit(polymul_b),
+            }
+
+    elif n2 > 1:  # xla engine
+        tw1 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n1), n1)))
+        tw2 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n2), n2)))
+        itw1 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n1, inverse=True), n1)))
+        itw2 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n2, inverse=True), n2)))
+        wmat_dev = _dev(red.prepare_table(wmat))
+        iwmat_dev = _dev(red.prepare_table(iwmat_scaled))
+        iwmat_poly_dev = _dev(red.prepare_table(iwmat_poly))
+
+        def fwd_fn(a):
+            x = a.astype(jnp.uint32).reshape(n1, n2)
+            x = S.dif_stages(x, tw1, p, red)
+            x = red.mul_const(x, *wmat_dev)
             x = x.T
-            x = S.dif_stages(x, tw2, p, mul_const)
-            return x.reshape(n)
+            x = S.dif_stages(x, tw2, p, red)
+            return red.canonicalize(x).reshape(n)
 
         def _inv_core(a, iw):
             x = a.astype(jnp.uint32).reshape(n2, n1)
-            x = S.dit_stages(x, itw2, p, mul_const)
+            x = S.dit_stages(x, itw2, p, red)
             x = x.T
-            x = mul_const(x, iw)
-            x = S.dit_stages(x, itw1, p, mul_const)
-            return x.reshape(n)
+            x = red.mul_const(x, *iw)
+            x = S.dit_stages(x, itw1, p, red)
+            return red.canonicalize(x).reshape(n)
 
-        inv_fn = partial(_inv_core, iw=iwmat_dev)
+        inv_fn = lambda a: _inv_core(a, iwmat_dev)  # noqa: E731
+        inv_poly_fn = lambda a: _inv_core(a, iwmat_poly_dev)  # noqa: E731
 
-        def polymul_fn(a, b):
-            fa = fwd_fn(a)
-            fb = fwd_fn(b)
-            if red == "montgomery":
-                from ntt_aie_tpu.ops import modops as M
+    else:  # flat path (small n): plain DIF/DIT on (n, 1), xla engine
+        tw1 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n1), n1)))
+        itw1 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n1, inverse=True), n1)))
+        scale_dev = _dev(red.prepare_table(scale))
+        scale_poly_dev = _dev(red.prepare_table(scale_poly))
+        engine = "xla"
 
-                fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)  # a*b*R^-1
-            else:
-                fc = mul_data(fa, fb)
-            return _inv_core(fc, iwmat_poly_dev)
-
-        pos = (br2[np.arange(n) // n1] * n1 + br1[np.arange(n) % n1]).astype(np.int32)
-        # X[k] = flat[pos[k]] with k = k2*n1 + k1
-        spectral_to_natural = pos
-
-    else:
-        # flat path: plain DIF/DIT on (n, 1)
         def fwd_fn(a):
             x = a.astype(jnp.uint32).reshape(n1, 1)
-            x = S.dif_stages(x, tw1, p, mul_const)
-            return x.reshape(n)
+            x = S.dif_stages(x, tw1, p, red)
+            return red.canonicalize(x).reshape(n)
 
-        def _inv_core_flat(a, sc):
+        def _inv_core(a, sc):
             x = a.astype(jnp.uint32).reshape(n1, 1)
-            x = S.dit_stages(x, itw1, p, mul_const)
-            return mul_const(x, sc.reshape(1, 1)).reshape(n)
+            x = S.dit_stages(x, itw1, p, red)
+            x = red.mul_const(x, *(s.reshape(1, 1) for s in sc))
+            return red.canonicalize(x).reshape(n)
 
-        inv_fn = partial(_inv_core_flat, sc=scale)
+        inv_fn = lambda a: _inv_core(a, scale_dev)  # noqa: E731
+        inv_poly_fn = lambda a: _inv_core(a, scale_poly_dev)  # noqa: E731
 
-        def polymul_fn(a, b):
-            fa = fwd_fn(a)
-            fb = fwd_fn(b)
-            if red == "montgomery":
-                from ntt_aie_tpu.ops import modops as M
+    def polymul_fn(a, b):
+        fa = fwd_fn(a)
+        fb = fwd_fn(b)
+        if kind == "montgomery":
+            from ntt_aie_tpu.ops import modops as M
 
-                fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
-            else:
-                fc = mul_data(fa, fb)
-            return _inv_core_flat(fc, scale_poly)
+            fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)  # a*b*R^-1
+        else:
+            fc = red.mul_data(fa, fb)
+        return inv_poly_fn(fc)
 
-        spectral_to_natural = tw.bit_reverse_indices(n).astype(np.int32)
+    spectral_to_natural = pos
 
     # ---- ordering wrappers ----
     if config.ordering == "natural":
@@ -175,20 +262,22 @@ def build_plan(config: NTTConfig, *, use_pallas: str = "auto") -> Plan:
     # ---- negacyclic wrappers ----
     nega_fn = None
     if config.negacyclic:
-        psi = _u32c(table_form(tw.negacyclic_psi_powers(field, n)))
-        psi_inv = _u32c(table_form(tw.negacyclic_psi_powers(field, n, inverse=True)))
+        psi = _dev(red.prepare_table(tw.negacyclic_psi_powers(field, n)))
+        psi_inv = _dev(red.prepare_table(tw.negacyclic_psi_powers(field, n, inverse=True)))
 
         def nega_fn(a, b):
-            ta = mul_const(a.astype(jnp.uint32), psi)
-            tb = mul_const(b.astype(jnp.uint32), psi)
+            ta = red.canonicalize(red.mul_const(a.astype(jnp.uint32), *psi))
+            tb = red.canonicalize(red.mul_const(b.astype(jnp.uint32), *psi))
             tc = polymul_fn(ta, tb)
-            return mul_const(tc, psi_inv)
+            return red.canonicalize(red.mul_const(tc, *psi_inv))
 
-    tables_bytes = sum(
-        t.size * 4
-        for t in [tw1, itw1]
-        + ([tw2, itw2, wmat_dev, iwmat_dev] if n2 > 1 else [])
-    )
+    if "batched_builder" not in dir():
+        def batched_builder(B):
+            return {
+                "fwd": jax.jit(jax.vmap(fwd_fn)),
+                "inv": jax.jit(jax.vmap(inv_fn)),
+                "polymul": jax.jit(jax.vmap(polymul_fn)),
+            }
 
     return Plan(
         config=config,
@@ -197,19 +286,20 @@ def build_plan(config: NTTConfig, *, use_pallas: str = "auto") -> Plan:
         polymul=jax.jit(polymul_fn),
         negacyclic_polymul=jax.jit(nega_fn) if nega_fn else None,
         spectral_to_natural=spectral_to_natural,
-        tables_bytes=tables_bytes,
+        engine=engine,
+        reduction=kind,
+        _batched_builder=batched_builder,
     )
 
 
-def _build_reference_plan(config: NTTConfig) -> Plan:
+def _build_reference_plan(config: NTTConfig, kind: str) -> Plan:
     """Bit-exact parity with the reference device (butterfly network with the
     caller's natural-order table + ANS_ORDER_16 block layout)."""
     field = config.field
     n = config.n
     p = field.p
-    red = config.resolved_reduction
-    mul_const, _, table_form = S.make_mul(red, field)
-    table = _u32c(table_form(tw.power_table(field, n)))
+    red = make_reduction(kind, field)
+    table = _dev(red.prepare_table(tw.power_table(field, n)))
 
     if config.ordering == "reference":
         inv_order = np.empty(16, dtype=np.int32)
@@ -217,13 +307,13 @@ def _build_reference_plan(config: NTTConfig) -> Plan:
         inv_order = jnp.asarray(inv_order)
 
         def fwd_fn(a):
-            x = S.reference_network_stages(a.astype(jnp.uint32), table, p, mul_const)
+            x = S.reference_network_stages(a.astype(jnp.uint32), table, p, red)
             return jnp.take(x.reshape(16, n // 16), inv_order, axis=0).reshape(n)
 
     else:
 
         def fwd_fn(a):
-            return S.reference_network_stages(a.astype(jnp.uint32), table, p, mul_const)
+            return S.reference_network_stages(a.astype(jnp.uint32), table, p, red)
 
     def _no_inverse(*_):
         raise NotImplementedError(
@@ -237,9 +327,6 @@ def _build_reference_plan(config: NTTConfig) -> Plan:
         polymul=_no_inverse,
         negacyclic_polymul=None,
         spectral_to_natural=None,
-        tables_bytes=table.size * 4,
+        engine="xla",
+        reduction=kind,
     )
-
-
-def _build_goldilocks_plan(config: NTTConfig) -> Plan:
-    raise NotImplementedError("goldilocks device plan lands with the limb kernels")

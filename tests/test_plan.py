@@ -114,18 +114,18 @@ def test_reference_parity_device():
 def test_reference_parity_partial_depth():
     """test_stage hook parity at every depth (src/test.cpp:55-57)."""
     from ntt_aie_tpu.ops import stages as S
-    from ntt_aie_tpu.ops import modops  # noqa: F401
+    from ntt_aie_tpu.ops.reductions import make_reduction
 
     n = 1 << 8
     field = F.KYBER
-    mul_const, _, table_form = S.make_mul("barrett", field)
+    red = make_reduction("barrett", field)
     table_np = tw.power_table(field, n)
-    table = jnp.asarray(table_form(table_np))
+    table = tuple(jnp.asarray(t) for t in red.prepare_table(table_np))
     a = np.arange(n)
     for stage in range(8):
         got = np.asarray(
             S.reference_network_stages(
-                jnp.asarray(a, dtype=jnp.uint32), table, field.p, mul_const, stages=stage
+                jnp.asarray(a, dtype=jnp.uint32), table, field.p, red, stages=stage
             )
         )
         want = ref.reference_network(a, table_np, field.p, stages=stage)
@@ -143,3 +143,53 @@ def test_linearity_device(rng):
     fb = np.asarray(ctx.forward(jnp.asarray(b, dtype=jnp.uint32))).astype(np.int64)
     fab = np.asarray(ctx.forward(jnp.asarray((a + b) % p, dtype=jnp.uint32))).astype(np.int64)
     assert np.array_equal(fab, (fa + fb) % p)
+
+
+# ---- Harvey lazy-butterfly reduction ----
+
+def test_harvey_forward_and_roundtrip(rng):
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=12, reduction="harvey")
+    ctx = NTTContext(cfg)
+    assert ctx.plan.reduction == "harvey"
+    a = rng.integers(0, field.p, cfg.n)
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+    flat = np.asarray(ctx.forward(aj))
+    assert flat.max() < field.p, "canonicalization failed"
+    pos = ctx.plan.spectral_to_natural
+    assert np.array_equal(flat[pos].astype(np.int64), ref.ntt_forward(a, field))
+    assert np.array_equal(np.asarray(ctx.inverse(jnp.asarray(flat))), a)
+
+
+def test_harvey_auto_selected():
+    assert NTTContext(NTTConfig(field=F.P_998244353, log_n=10)).plan.reduction == "harvey"
+    assert NTTContext(NTTConfig(field=F.P_2013265921, log_n=10)).plan.reduction == "montgomery"
+
+
+def test_harvey_polymul(rng):
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=11)
+    ctx = NTTContext(cfg)
+    a = rng.integers(0, field.p, cfg.n)
+    b = rng.integers(0, field.p, cfg.n)
+    got = np.asarray(ctx.polymul(jnp.asarray(a, dtype=jnp.uint32), jnp.asarray(b, dtype=jnp.uint32)))
+    want = ref.cyclic_polymul(a, b, field)
+    assert np.array_equal(got.astype(np.int64), want)
+
+
+# ---- Pallas engine (interpret mode on CPU) ----
+
+def test_pallas_engine_matches_xla(rng):
+    from ntt_aie_tpu.plan import build_plan
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=11, rows_log2=4)  # (16, 128): 1 slab
+    a = rng.integers(0, field.p, cfg.n)
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+    plan_x = build_plan(cfg, engine="xla")
+    plan_p = build_plan(cfg, engine="pallas", interpret=True)
+    fx = np.asarray(plan_x.fwd(aj))
+    fp = np.asarray(plan_p.fwd(aj))
+    assert np.array_equal(fx, fp)
+    back = np.asarray(plan_p.inv(jnp.asarray(fp)))
+    assert np.array_equal(back, a)
