@@ -53,6 +53,7 @@ def build_colpass(
     canonicalize: bool = False,
     block_lanes: int | None = None,
     batch: int = 1,
+    transpose_out: bool = False,
     interpret: bool = False,
 ):
     """Returns a pallas_call fn(x, *stage_tw_cols, *[wmat tables]) -> y
@@ -60,9 +61,13 @@ def build_colpass(
     multiply) on (n1, block_lanes) VMEM slabs, gridded over n2 // block_lanes.
 
     x: (n1, n2) uint32 — or (batch, n1, n2) when batch > 1 (the batch rides
-    a leading grid axis; twiddles are shared across the batch). Each stage
-    twiddle is red.n_tables arrays of shape (t_s, 1); wmat is red.n_tables
-    arrays of shape (n1, n2).
+    an inner grid axis so shared tables are fetched once per lane-slab, not
+    once per batch element). Each stage twiddle is red.n_tables arrays of
+    shape (t_s, 1); wmat is red.n_tables arrays of shape (n1, n2).
+
+    transpose_out=True writes each slab transposed to the mirrored block of
+    a (n2, n1) output — the four-step transpose fused into the pass for
+    free (no separate transpose kernel, no extra HBM round trip).
     """
     logn = n1.bit_length() - 1
     ts = _stage_shapes(n1, direction)
@@ -109,35 +114,47 @@ def build_colpass(
             x = red.mul_const(x, *wm)
         if canonicalize:
             x = red.canonicalize(x)
+        if transpose_out:
+            x = x.T
         out_ref[:] = x.reshape(out_ref.shape)
 
+    # Block specs. Batched grids are (lane_slab, batch): batch innermost so
+    # the (stage twiddles, wmat) blocks keep identical indices across
+    # consecutive steps and the Pallas pipeline skips re-fetching them.
     if batch == 1:
-        slab_spec = pl.BlockSpec(
-            (n1, block_lanes), lambda i: (0, i), memory_space=pltpu.VMEM
-        )
-        wmat_spec = slab_spec
+        x_spec = pl.BlockSpec((n1, block_lanes), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+        wmat_spec = x_spec
         tw_specs = [
             pl.BlockSpec((t, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
-            for t in ts
-            for _ in range(nt)
+            for t in ts for _ in range(nt)
         ]
+        if transpose_out:
+            out_spec = pl.BlockSpec((block_lanes, n1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((n2, n1), jnp.uint32)
+        else:
+            out_spec = x_spec
+            out_shape = jax.ShapeDtypeStruct((n1, n2), jnp.uint32)
         full_grid = (grid,)
-        out_shape = jax.ShapeDtypeStruct((n1, n2), jnp.uint32)
     else:
-        slab_spec = pl.BlockSpec(
-            (1, n1, block_lanes), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
-        )
-        wmat_spec = pl.BlockSpec(
-            (n1, block_lanes), lambda b, i: (0, i), memory_space=pltpu.VMEM
-        )
+        x_spec = pl.BlockSpec((1, n1, block_lanes), lambda i, b: (b, 0, i),
+                              memory_space=pltpu.VMEM)
+        wmat_spec = pl.BlockSpec((n1, block_lanes), lambda i, b: (0, i),
+                                 memory_space=pltpu.VMEM)
         tw_specs = [
-            pl.BlockSpec((t, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM)
-            for t in ts
-            for _ in range(nt)
+            pl.BlockSpec((t, 1), lambda i, b: (0, 0), memory_space=pltpu.VMEM)
+            for t in ts for _ in range(nt)
         ]
-        full_grid = (batch, grid)
-        out_shape = jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32)
-    in_specs = [slab_spec] + tw_specs
+        if transpose_out:
+            out_spec = pl.BlockSpec((1, block_lanes, n1), lambda i, b: (b, i, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((batch, n2, n1), jnp.uint32)
+        else:
+            out_spec = x_spec
+            out_shape = jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32)
+        full_grid = (grid, batch)
+    in_specs = [x_spec] + tw_specs
     if twiddle_pos != "none":
         in_specs.extend([wmat_spec] * nt)
 
@@ -146,15 +163,15 @@ def build_colpass(
         kernel,
         grid=full_grid,
         in_specs=in_specs,
-        out_specs=slab_spec,
+        out_specs=out_spec,
         out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=12 * butterflies * grid,
-            bytes_accessed=(2 + (twiddle_pos != "none")) * n1 * n2 * 4,
+            flops=12 * butterflies * grid * batch,
+            bytes_accessed=(2 + (twiddle_pos != "none")) * n1 * n2 * 4 * batch,
             transcendentals=0,
         ),
     )
@@ -263,6 +280,7 @@ def make_colpass(
     interpret: bool = False,
     block_lanes: int | None = None,
     batch: int = 1,
+    transpose_out: bool = False,
 ) -> PallasColpass:
     """Build a column pass for n1-point NTTs over an (n1, n2) matrix.
 
@@ -291,5 +309,6 @@ def make_colpass(
         interpret=interpret,
         block_lanes=block_lanes,
         batch=batch,
+        transpose_out=transpose_out,
     )
     return PallasColpass(fn, tw_cols, wmat_tables)

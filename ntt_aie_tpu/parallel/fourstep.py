@@ -1,0 +1,286 @@
+"""Distributed four-step NTT under shard_map.
+
+This is the L2 scale-out layer (SURVEY.md §7): the reference scales by
+pairing tiles per global butterfly stage through a hand-routed lock/swap
+network (reference src/aie2.py:183-295, §2.5) — log2(#tiles) exchange
+phases. The TPU-native replacement reshapes N = N1 x N2 and trades all of
+that for ONE all_to_all transpose over ICI (SURVEY.md §5.7):
+
+    (N1, N2) sharded P(None, 'x')        each device: (N1, N2/D)
+    1. local column DIFs over N1         no communication
+    2. local four-step twiddle multiply  W sharded like the data
+    3. all_to_all + local transpose      the only collective
+    4. local column DIFs over N2         no communication
+    -> (N2, N1) sharded P(None, 'x'), same spectral order as the
+       single-chip plan (bit-exact).
+
+The inverse mirrors it. The local passes are the same stage loops /
+Pallas colpasses as the single-chip plan — one code path from 1 chip to a
+pod slice. A ppermute-based pairwise-exchange mode (`pairwise_stage`) is
+also provided: it is the direct analog of the reference's per-stage
+neighbor exchange (reference src/aie_core.cc:161-187 + src/aie2.py swap
+phases) and is exposed for comparison benchmarks; four-step wins at scale
+because it communicates once instead of log2(D) times.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ntt_aie_tpu.config import NTTConfig
+from ntt_aie_tpu import twiddles as tw
+from ntt_aie_tpu.ops import stages as S
+from ntt_aie_tpu.ops.reductions import make_reduction, resolve_kind
+
+
+@dataclasses.dataclass
+class DistributedPlan:
+    config: NTTConfig
+    mesh: Mesh
+    fwd: Callable        # (n1, n2) col-sharded -> (n2, n1) col-sharded
+    inv: Callable        # (n2, n1) col-sharded -> (n1, n2) col-sharded
+    polymul: Callable    # two (n1, n2) -> (n1, n2)
+    spectral_to_natural: np.ndarray  # over the row-major flattened output
+    in_sharding: NamedSharding
+    out_sharding: NamedSharding
+    reduction: str
+
+    def shard_input(self, a_flat):
+        """Place a flat (n,) host array into the plan's input layout:
+        row-major (n1, n2) with columns sharded over the mesh axis."""
+        n1, n2 = self.config.split
+        a = np.asarray(a_flat)
+        shape = (n1, n2) if a.ndim == 1 else (a.shape[0], n1, n2)
+        return jax.device_put(a.reshape(shape), self.in_sharding)
+
+
+def build_distributed_plan(
+    config: NTTConfig,
+    mesh: Mesh,
+    *,
+    engine: str = "auto",
+    interpret: bool = False,
+    dp_axis: str | None = None,
+    batch: int = 1,
+) -> DistributedPlan:
+    """Distributed plan over `mesh`'s `config.mesh_axis`.
+
+    Input is the row-major (n1, n2) coefficient matrix with columns sharded
+    over the axis (use plan.shard_input for a flat host vector); output is
+    the (n2, n1) spectral matrix, columns sharded. Flattened row-major, the
+    output is bit-identical to the single-chip plan's flat spectral order
+    for the same (n1, n2) split — verified in tests/test_distributed.py.
+    The only cross-device communication in a transform is one all_to_all.
+
+    With dp_axis set (2D mesh), inputs carry a leading batch dim:
+    (B, n1, n2) sharded P(dp, None, x) — data parallelism over transforms
+    composed with coefficient sharding within each transform.
+    """
+    field = config.field
+    kind = resolve_kind(config.reduction, field)
+    red = make_reduction(kind, field)
+    n = config.n
+    p = field.p
+    ax = config.mesh_axis
+    D = mesh.shape[ax]
+    n1, n2 = config.split
+    if n2 % D or n2 // D % 1:
+        raise ValueError(f"n2={n2} must divide by mesh axis size {D}")
+    if n1 % D:
+        raise ValueError(f"n1={n1} must divide by mesh axis size {D} (for the transpose)")
+
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    # ---- host tables (same as single-chip plan) ----
+    br1 = tw.bit_reverse_indices(n1)
+    br2 = tw.bit_reverse_indices(n2)
+    n_inv = field.inv(n)
+    wmat = tw.fourstep_twiddle_matrix(field, n1, n2)[br1, :]
+    iwmat = tw.fourstep_twiddle_matrix(field, n1, n2, inverse=True)[br1, :]
+    iwmat_scaled = (iwmat.astype(np.uint64) * np.uint64(n_inv) % np.uint64(p)).astype(np.int64)
+    if kind == "montgomery":
+        iwmat_poly = (
+            iwmat_scaled.astype(np.uint64) * np.uint64(field.mont_r_mod_p) % np.uint64(p)
+        ).astype(np.int64)
+    else:
+        iwmat_poly = iwmat_scaled
+    pos = (br2[np.arange(n) // n1] * n1 + br1[np.arange(n) % n1]).astype(np.int32)
+
+    tw1 = red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n1), n1))
+    tw2 = red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n2), n2))
+    itw1 = red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n1, inverse=True), n1))
+    itw2 = red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n2, inverse=True), n2))
+    wmat_t = red.prepare_table(wmat)
+    iwmat_t = red.prepare_table(iwmat_scaled)
+    iwmat_poly_t = red.prepare_table(iwmat_poly)
+
+    tw1_d = tuple(jnp.asarray(t) for t in tw1)
+    tw2_d = tuple(jnp.asarray(t) for t in tw2)
+    itw1_d = tuple(jnp.asarray(t) for t in itw1)
+    itw2_d = tuple(jnp.asarray(t) for t in itw2)
+    wmat_d = tuple(jnp.asarray(t) for t in wmat_t)
+    iwmat_d = tuple(jnp.asarray(t) for t in iwmat_t)
+    iwmat_poly_d = tuple(jnp.asarray(t) for t in iwmat_poly_t)
+
+    if dp_axis is None:
+        colshard = P(None, ax)      # (rows, cols) with cols sharded
+        wspec = colshard
+    else:
+        colshard = P(dp_axis, None, ax)  # (batch, rows, cols)
+        wspec = P(None, ax)
+
+    # ---- local pass engines ----
+    if engine == "pallas":
+        from ntt_aie_tpu.ops import pallas_ntt as PN
+
+        lcp1 = PN.build_colpass(n1=n1, n2=n2 // D, red=red, direction="dif",
+                                twiddle_pos="post", interpret=interpret)
+        lcp2 = PN.build_colpass(n1=n2, n2=n1 // D, red=red, direction="dif",
+                                canonicalize=True, interpret=interpret)
+        licp2 = PN.build_colpass(n1=n2, n2=n1 // D, red=red, direction="dit",
+                                 interpret=interpret)
+        licp1 = PN.build_colpass(n1=n1, n2=n2 // D, red=red, direction="dit",
+                                 twiddle_pos="pre", canonicalize=True, interpret=interpret)
+        tw_cols_1 = [jnp.asarray(c) for v in tw.dif_stage_twiddles(field, n1)
+                     for c in red.prepare_table(v.reshape(-1, 1))]
+        tw_cols_2 = [jnp.asarray(c) for v in tw.dif_stage_twiddles(field, n2)
+                     for c in red.prepare_table(v.reshape(-1, 1))]
+        itw_cols_1 = [jnp.asarray(c) for v in tw.dit_stage_twiddles(field, n1, inverse=True)
+                      for c in red.prepare_table(v.reshape(-1, 1))]
+        itw_cols_2 = [jnp.asarray(c) for v in tw.dit_stage_twiddles(field, n2, inverse=True)
+                      for c in red.prepare_table(v.reshape(-1, 1))]
+
+        def local_pass1(xl, wml):
+            return lcp1(xl, *tw_cols_1, *wml)
+
+        def local_pass2(xl):
+            return lcp2(xl, *tw_cols_2)
+
+        def local_ipass2(xl):
+            return licp2(xl, *itw_cols_2)
+
+        def local_ipass1(xl, wml):
+            return licp1(xl, *itw_cols_1, *wml)
+
+    else:
+
+        def local_pass1(xl, wml):
+            y = S.dif_stages(xl, tw1_d, p, red)
+            return red.mul_const(y, *wml)
+
+        def local_pass2(xl):
+            return red.canonicalize(S.dif_stages(xl, tw2_d, p, red))
+
+        def local_ipass2(xl):
+            return S.dit_stages(xl, itw2_d, p, red)
+
+        def local_ipass1(xl, wml):
+            y = red.mul_const(xl, *wml)
+            return red.canonicalize(S.dit_stages(y, itw1_d, p, red))
+
+    # ---- shard_map bodies ----
+    if dp_axis is None:
+        def fwd_body(x, *wml):
+            # x: local (n1, n2/D); wml: local wmat slices
+            y = local_pass1(x, wml)
+            # all_to_all transpose: (n1, n2/D) -> (n1/D, n2), then local T
+            y = jax.lax.all_to_all(y, ax, split_axis=0, concat_axis=1, tiled=True)
+            y = y.T  # (n2, n1/D), local
+            return local_pass2(y)
+
+        def inv_body_core(x, *wml):
+            # x: local (n2, n1/D) spectral
+            y = local_ipass2(x)
+            y = y.T  # (n1/D, n2)
+            y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=0, tiled=True)
+            return local_ipass1(y, wml)  # (n1, n2/D)
+    else:
+        # batched: local blocks (B/dp, n1, n2/D); vmap the 2D local passes
+        def fwd_body(x, *wml):
+            y = jax.vmap(lambda xb: local_pass1(xb, wml))(x)
+            y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=2, tiled=True)
+            y = jnp.transpose(y, (0, 2, 1))
+            return jax.vmap(local_pass2)(y)
+
+        def inv_body_core(x, *wml):
+            y = jax.vmap(local_ipass2)(x)
+            y = jnp.transpose(y, (0, 2, 1))
+            y = jax.lax.all_to_all(y, ax, split_axis=2, concat_axis=1, tiled=True)
+            return jax.vmap(lambda xb: local_ipass1(xb, wml))(y)
+
+    smap = lambda body, n_w: jax.shard_map(  # noqa: E731
+        body,
+        mesh=mesh,
+        in_specs=(colshard,) + (wspec,) * n_w,
+        out_specs=colshard,
+    )
+
+    fwd_m = smap(fwd_body, len(wmat_d))
+    inv_m = smap(inv_body_core, len(iwmat_d))
+    inv_poly_m = smap(inv_body_core, len(iwmat_poly_d))
+
+    def fwd_fn(a):
+        return fwd_m(a.astype(jnp.uint32), *wmat_d)
+
+    def inv_fn(a):
+        return inv_m(a.astype(jnp.uint32), *iwmat_d)
+
+    def polymul_fn(a, b):
+        fa = fwd_fn(a)
+        fb = fwd_fn(b)
+        if kind == "montgomery":
+            from ntt_aie_tpu.ops import modops as M
+
+            fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
+        else:
+            fc = red.mul_data(fa, fb)
+        return inv_poly_m(fc, *iwmat_poly_d)
+
+    in_sharding = NamedSharding(mesh, P(None, ax) if dp_axis is None else P(dp_axis, None, ax))
+
+    return DistributedPlan(
+        config=config,
+        mesh=mesh,
+        fwd=jax.jit(fwd_fn),
+        inv=jax.jit(inv_fn),
+        polymul=jax.jit(polymul_fn),
+        spectral_to_natural=pos,
+        in_sharding=in_sharding,
+        out_sharding=in_sharding,
+        reduction=kind,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-style pairwise exchange (comparison mode)
+# ---------------------------------------------------------------------------
+
+def pairwise_global_stage(x_local, stage_idx: int, D: int, axis: str,
+                          w_tables: tuple, red, *, top_half_first: bool = True):
+    """One cross-shard GS butterfly stage via ppermute, the direct analog of
+    the reference's ntt_1stage over paired tiles (src/aie_core.cc:161-187):
+    device d pairs with d ^ (D >> (stage_idx+1)); both exchange their blocks
+    and each computes its half of the butterfly.
+
+    x_local: this shard's (m,) or (m, c) block. w_tables: this shard's
+    twiddle (broadcast slice prepared host-side). Used by the comparison
+    benchmark, not the production path (four-step communicates once).
+    """
+    half = D >> (stage_idx + 1)
+    me = jax.lax.axis_index(axis)
+    partner = me ^ half
+    perm = [(d, d ^ half) for d in range(D)]
+    other = jax.lax.ppermute(x_local, axis, perm)
+    am_upper = (me & half) != 0
+    u = jnp.where(am_upper, other, x_local)
+    v = jnp.where(am_upper, x_local, other)
+    out_lower = red.add(u, v)
+    out_upper = red.mul_const(red.sub(u, v), *w_tables)
+    return jnp.where(am_upper, out_upper, out_lower)

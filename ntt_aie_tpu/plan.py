@@ -69,6 +69,12 @@ class Plan:
         return self._batched_cache[batch]
 
 
+
+def _u32cast(a):
+    """Eager-safe uint32 cast: skip the dispatch when already uint32 (an
+    eager same-dtype astype still costs a device round trip on axon)."""
+    return a if a.dtype == jnp.uint32 else a.astype(jnp.uint32)
+
 def _dev(tables: tuple) -> tuple:
     return tuple(jnp.asarray(np.ascontiguousarray(t)) for t in tables)
 
@@ -119,56 +125,58 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
     if n2 > 1 and engine == "pallas":
         from ntt_aie_tpu.ops import pallas_ntt as PN
 
+        # The four-step twiddle multiply rides the SECOND pass as a 'pre'
+        # multiply on the transposed matrix: fusing post-twiddle and
+        # transposed output into one kernel measured 4x slower than either
+        # alone on v5e, while pre-twiddle + plain output is free.
         cp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dif",
-                              wmat=wmat, twiddle_pos="post", interpret=interpret)
+                              transpose_out=True, interpret=interpret)
         cp2 = PN.make_colpass(field, n2, n1, reduction=kind, direction="dif",
+                              wmat=np.ascontiguousarray(wmat.T), twiddle_pos="pre",
                               canonicalize=True, interpret=interpret)
         icp2 = PN.make_colpass(field, n2, n1, reduction=kind, direction="dit",
-                               inverse_tw=True, interpret=interpret)
+                               inverse_tw=True, transpose_out=True, interpret=interpret)
         icp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
                                inverse_tw=True, wmat=iwmat_scaled, twiddle_pos="pre",
                                canonicalize=True, interpret=interpret)
         icp1_poly = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
                                     inverse_tw=True, wmat=iwmat_poly, twiddle_pos="pre",
                                     canonicalize=True, interpret=interpret)
-        tr12 = PN.make_transpose(n1, n2, interpret=interpret)
-        tr21 = PN.make_transpose(n2, n1, interpret=interpret)
 
         def fwd_fn(a):
             x = a.astype(jnp.uint32).reshape(n1, n2)
-            return cp2(tr12(cp1(x))).reshape(n)
+            return cp2(cp1(x)).reshape(n)
 
         def _inv_core(a, icp1_):
             x = a.astype(jnp.uint32).reshape(n2, n1)
-            x = icp2(x)
-            return icp1_(tr21(x)).reshape(n)
+            return icp1_(icp2(x)).reshape(n)
 
         inv_fn = lambda a: _inv_core(a, icp1)  # noqa: E731
         inv_poly_fn = lambda a: _inv_core(a, icp1_poly)  # noqa: E731
 
         def batched_builder(B):
             cp1b = PN.make_colpass(field, n1, n2, reduction=kind, direction="dif",
-                                   wmat=wmat, twiddle_pos="post", batch=B, interpret=interpret)
+                                   batch=B, transpose_out=True, interpret=interpret)
             cp2b = PN.make_colpass(field, n2, n1, reduction=kind, direction="dif",
+                                   wmat=np.ascontiguousarray(wmat.T), twiddle_pos="pre",
                                    canonicalize=True, batch=B, interpret=interpret)
             icp2b = PN.make_colpass(field, n2, n1, reduction=kind, direction="dit",
-                                    inverse_tw=True, batch=B, interpret=interpret)
+                                    inverse_tw=True, batch=B, transpose_out=True,
+                                    interpret=interpret)
             icp1b = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
                                     inverse_tw=True, wmat=iwmat_scaled, twiddle_pos="pre",
                                     canonicalize=True, batch=B, interpret=interpret)
             icp1pb = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
                                      inverse_tw=True, wmat=iwmat_poly, twiddle_pos="pre",
                                      canonicalize=True, batch=B, interpret=interpret)
-            trb12 = PN.make_transpose(n1, n2, batch=B, interpret=interpret)
-            trb21 = PN.make_transpose(n2, n1, batch=B, interpret=interpret)
 
             def fwd_b(a):
-                x = a.astype(jnp.uint32).reshape(B, n1, n2)
-                return cp2b(trb12(cp1b(x))).reshape(B, n)
+                x = _u32cast(a).reshape(B, n1, n2)
+                return cp2b(cp1b(x)).reshape(B, n)
 
             def inv_b_core(a, icp):
-                x = a.astype(jnp.uint32).reshape(B, n2, n1)
-                return icp(trb21(icp2b(x))).reshape(B, n)
+                x = _u32cast(a).reshape(B, n2, n1)
+                return icp(icp2b(x)).reshape(B, n)
 
             def polymul_b(a, b):
                 fa = fwd_b(a)
@@ -181,10 +189,14 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                     fc = red.mul_data(fa, fb)
                 return inv_b_core(fc, icp1pb)
 
+            # NOT jit-wrapped: on the tunneled axon backend an explicit jit
+            # wrapper around pallas custom-calls adds ~28 ms per dispatch
+            # (remote-compile round trip); the bare composition dispatches
+            # each kernel through the fast path. Callers can still jit.
             return {
-                "fwd": jax.jit(fwd_b),
-                "inv": jax.jit(lambda a: inv_b_core(a, icp1b)),
-                "polymul": jax.jit(polymul_b),
+                "fwd": fwd_b,
+                "inv": lambda a: inv_b_core(a, icp1b),
+                "polymul": polymul_b,
             }
 
     elif n2 > 1:  # xla engine

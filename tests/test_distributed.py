@@ -1,0 +1,140 @@
+"""Distributed four-step NTT on the 8-virtual-device CPU mesh.
+
+The reference only ever tested multi-tile behavior on real hardware
+(SURVEY.md §4); here the full multi-chip path runs in CI on a virtual mesh,
+bit-exact against the single-chip plan."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ntt_aie_tpu import fields as F
+from ntt_aie_tpu import reference as ref
+from ntt_aie_tpu.config import NTTConfig
+from ntt_aie_tpu.plan import build_plan
+from ntt_aie_tpu.parallel.mesh import make_mesh
+from ntt_aie_tpu.parallel.fourstep import build_distributed_plan
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return make_mesh(8)
+
+
+def test_distributed_matches_single_chip(mesh8, rng):
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=5, num_shards=8)  # (32, 128)
+    a = rng.integers(0, field.p, cfg.n)
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+
+    single = build_plan(cfg, engine="xla")
+    dist = build_distributed_plan(cfg, mesh8, engine="xla")
+
+    want = np.asarray(single.fwd(aj))
+    got = np.asarray(dist.fwd(dist.shard_input(a))).reshape(-1)
+    assert np.array_equal(got, want), "distributed fwd != single-chip fwd"
+
+
+def test_distributed_roundtrip_and_natural(mesh8, rng):
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=13, rows_log2=6, num_shards=8)  # (64, 128)
+    a = rng.integers(0, field.p, cfg.n)
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+    dist = build_distributed_plan(cfg, mesh8, engine="xla")
+
+    n1, n2 = cfg.split
+    spec = np.asarray(dist.fwd(dist.shard_input(a)))
+    flat = spec.reshape(-1)
+    assert np.array_equal(
+        flat[dist.spectral_to_natural].astype(np.int64), ref.ntt_forward(a, field)
+    )
+    back = np.asarray(dist.inv(jnp.asarray(spec, dtype=jnp.uint32))).reshape(-1)
+    assert np.array_equal(back, a)
+
+
+def test_distributed_polymul(mesh8, rng):
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=5, num_shards=8)
+    a = rng.integers(0, field.p, cfg.n)
+    b = rng.integers(0, field.p, cfg.n)
+    dist = build_distributed_plan(cfg, mesh8, engine="xla")
+    got = np.asarray(
+        dist.polymul(dist.shard_input(a), dist.shard_input(b))
+    ).reshape(-1)
+    want = ref.cyclic_polymul(a, b, field)
+    assert np.array_equal(got.astype(np.int64), want)
+
+
+def test_distributed_montgomery_field(mesh8, rng):
+    field = F.P_2013265921
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=5, num_shards=8)
+    a = rng.integers(0, field.p, cfg.n)
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+    dist = build_distributed_plan(cfg, mesh8, engine="xla")
+    single = build_plan(cfg, engine="xla")
+    assert np.array_equal(
+        np.asarray(dist.fwd(dist.shard_input(a))).reshape(-1), np.asarray(single.fwd(aj))
+    )
+
+
+def test_pairwise_stage_matches_butterfly(mesh8, rng):
+    """The reference-style ppermute pairwise exchange (comparison mode) for
+    one global stage matches the same butterfly computed locally."""
+    from ntt_aie_tpu.parallel.fourstep import pairwise_global_stage
+    from ntt_aie_tpu.ops.reductions import make_reduction
+    from jax.sharding import PartitionSpec as P
+
+    field = F.P_469762049
+    red = make_reduction("harvey", field)
+    D = 8
+    m = 128  # elements per shard
+    n = D * m
+    a = rng.integers(0, field.p, n).astype(np.uint32)
+    # stage 0: stride n/2 -> device d pairs with d ^ 4
+    w = field.root_of_unity(8)  # arbitrary twiddle per shard-pair; use w^d slice
+    wv = np.full((m,), 37, dtype=np.int64)  # constant twiddle for the check
+    w_t = tuple(jnp.asarray(t) for t in red.prepare_table(wv))
+
+    def body(xl, *wt):
+        return red.canonicalize(
+            pairwise_global_stage(xl, 0, D, "x", wt, red)
+        )
+
+    f = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh8,
+            in_specs=(P("x"),) + (P(None),) * len(w_t),
+            out_specs=P("x"),
+        )
+    )
+    got = np.asarray(f(jnp.asarray(a), *w_t))
+    # expected: GS butterfly with stride n/2, twiddle 37
+    u = a[: n // 2].astype(np.int64)
+    v = a[n // 2 :].astype(np.int64)
+    want = np.concatenate([(u + v) % field.p, (u - v) % field.p * 37 % field.p])
+    assert np.array_equal(got.astype(np.int64), want)
+
+
+def test_distributed_2d_mesh_dp_batch(rng):
+    """2D mesh: batch sharded over 'dp', coefficients over 'x'."""
+    from ntt_aie_tpu.parallel.mesh import make_mesh_2d
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh_2d(2, 4)
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=5, num_shards=4)
+    B = 4
+    a = rng.integers(0, field.p, (B, cfg.n))
+    dist = build_distributed_plan(cfg, mesh, engine="xla", dp_axis="dp", batch=B)
+    single = build_plan(cfg, engine="xla")
+    out = np.asarray(dist.fwd(dist.shard_input(a)))
+    for i in range(B):
+        want = np.asarray(single.fwd(jnp.asarray(a[i], dtype=jnp.uint32)))
+        assert np.array_equal(out[i].reshape(-1), want), f"batch row {i}"
+    back = np.asarray(dist.inv(jnp.asarray(out, dtype=jnp.uint32)))
+    assert np.array_equal(back.reshape(B, -1), a)
