@@ -1,0 +1,246 @@
+"""Device plan for the Goldilocks field p = 2^64 - 2^32 + 1.
+
+TPU lanes are 32-bit, so 64-bit field elements travel as (hi, lo) uint32
+limb pairs (SURVEY.md §7 hard part 1 taken one word wider: where the 32-bit
+primes emulate the reference's acc64 with 16-bit limb products, Goldilocks
+stacks that into a 4-partial-product 128-bit multiply reduced with
+2^64 ≡ 2^32 - 1, 2^96 ≡ -1 — ops/modops.py gl_*). The transform structure
+is the same four-step decomposition as plan.py:
+
+    fwd = flatten . colDIF_{N2} . transpose . (* W) . colDIF_{N1} . reshape
+
+with the 1/n inverse scale (and nothing else — no Montgomery stray factors;
+gl_mul is a plain modmul) folded into the inverse twiddle matrix.
+
+Value interface: every plan callable accepts either
+- a ``(hi, lo)`` tuple of uint32 arrays (device-resident form), returning a
+  tuple, or
+- a NumPy ``uint64`` array (host convenience), returning ``uint64``.
+
+The limb-pair form is what jit sees; the uint64 conversion happens on host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ntt_aie_tpu.config import NTTConfig
+from ntt_aie_tpu import twiddles as tw
+from ntt_aie_tpu.ops import modops as M
+
+
+def _split_limbs(t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """object/int array of field elements -> (hi, lo) uint32 numpy arrays."""
+    flat = np.asarray(
+        [int(v) for v in np.asarray(t, dtype=object).ravel()], dtype=np.uint64
+    ).reshape(np.shape(t))
+    hi = (flat >> np.uint64(32)).astype(np.uint32)
+    lo = (flat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return np.ascontiguousarray(hi), np.ascontiguousarray(lo)
+
+
+def _dev_limbs(t: np.ndarray):
+    hi, lo = _split_limbs(t)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+def gl_dif_stages(h, l, twh, twl):
+    """Gentleman-Sande DIF along axis 0 on limb pairs; natural row order in,
+    bit-reversed out. h, l: (n, C) uint32; twh/twl: (log2 n, n//2) packed
+    stage tables (twiddles.pack_stage_twiddles layout)."""
+    n, c = h.shape
+    logn = n.bit_length() - 1
+    for s in range(logn):
+        t = n >> (s + 1)
+        blocks = n // (2 * t)
+        hr = h.reshape(blocks, 2, t, c)
+        lr = l.reshape(blocks, 2, t, c)
+        uh, ul = hr[:, 0], lr[:, 0]
+        vh, vl = hr[:, 1], lr[:, 1]
+        ah, al = M.gl_add(uh, ul, vh, vl)
+        dh, dl = M.gl_sub(uh, ul, vh, vl)
+        wh = twh[s].reshape(blocks, t, 1)
+        wl = twl[s].reshape(blocks, t, 1)
+        bh, bl = M.gl_mul(dh, dl, wh, wl)
+        h = jnp.stack([ah, bh], axis=1).reshape(n, c)
+        l = jnp.stack([al, bl], axis=1).reshape(n, c)
+    return h, l
+
+
+def gl_dit_stages(h, l, twh, twl):
+    """Cooley-Tukey DIT along axis 0 on limb pairs; bit-reversed in,
+    natural out."""
+    n, c = h.shape
+    logn = n.bit_length() - 1
+    for s in range(logn):
+        t = 1 << s
+        blocks = n // (2 * t)
+        hr = h.reshape(blocks, 2, t, c)
+        lr = l.reshape(blocks, 2, t, c)
+        uh, ul = hr[:, 0], lr[:, 0]
+        vh, vl = hr[:, 1], lr[:, 1]
+        wh = twh[s].reshape(blocks, t, 1)
+        wl = twl[s].reshape(blocks, t, 1)
+        wvh, wvl = M.gl_mul(vh, vl, wh, wl)
+        ah, al = M.gl_add(uh, ul, wvh, wvl)
+        bh, bl = M.gl_sub(uh, ul, wvh, wvl)
+        h = jnp.stack([ah, bh], axis=1).reshape(n, c)
+        l = jnp.stack([al, bl], axis=1).reshape(n, c)
+    return h, l
+
+
+def _pack_dev(field, n, *, direction, inverse=False):
+    gen = tw.dif_stage_twiddles if direction == "dif" else tw.dit_stage_twiddles
+    packed = tw.pack_stage_twiddles(gen(field, n, inverse=inverse), n)
+    return _dev_limbs(packed)
+
+
+def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
+                          interpret: bool = False):
+    """Goldilocks plan. Engine is always the XLA stage loops (limb arithmetic
+    is elementwise uint32 jnp — XLA fuses it; a dedicated Pallas limb kernel
+    is a later optimization), so `engine`/`interpret` are accepted for
+    signature parity and ignored."""
+    del engine, interpret
+    from ntt_aie_tpu.plan import Plan  # avoid import cycle at module load
+
+    field = config.field
+    n = config.n
+    p = field.p
+    n1, n2 = config.split
+
+    br1 = tw.bit_reverse_indices(n1)
+    if n2 > 1:
+        br2 = tw.bit_reverse_indices(n2)
+        n_inv = field.inv(n)
+        wmat = tw.fourstep_twiddle_matrix(field, n1, n2)[br1, :]
+        iwmat = tw.fourstep_twiddle_matrix(field, n1, n2, inverse=True)[br1, :]
+        iwmat_scaled = iwmat.astype(object) * n_inv % p
+        pos = (br2[np.arange(n) // n1] * n1 + br1[np.arange(n) % n1]).astype(np.int32)
+
+        tw1 = _pack_dev(field, n1, direction="dif")
+        tw2 = _pack_dev(field, n2, direction="dif")
+        itw1 = _pack_dev(field, n1, direction="dit", inverse=True)
+        itw2 = _pack_dev(field, n2, direction="dit", inverse=True)
+        wmat_dev = _dev_limbs(wmat)
+        iwmat_dev = _dev_limbs(iwmat_scaled)
+
+        def fwd_core(h, l):
+            h = h.reshape(n1, n2)
+            l = l.reshape(n1, n2)
+            h, l = gl_dif_stages(h, l, *tw1)
+            h, l = M.gl_mul(h, l, *wmat_dev)
+            h, l = h.T, l.T
+            h, l = gl_dif_stages(h, l, *tw2)
+            return h.reshape(n), l.reshape(n)
+
+        def inv_core(h, l):
+            h = h.reshape(n2, n1)
+            l = l.reshape(n2, n1)
+            h, l = gl_dit_stages(h, l, *itw2)
+            h, l = h.T, l.T
+            h, l = M.gl_mul(h, l, *iwmat_dev)
+            h, l = gl_dit_stages(h, l, *itw1)
+            return h.reshape(n), l.reshape(n)
+
+    else:  # flat path (small n)
+        n_inv = field.inv(n)
+        pos = tw.bit_reverse_indices(n).astype(np.int32)
+        tw1 = _pack_dev(field, n1, direction="dif")
+        itw1 = _pack_dev(field, n1, direction="dit", inverse=True)
+        sh, sl = _dev_limbs(np.full(1, n_inv, dtype=object))
+
+        def fwd_core(h, l):
+            h, l = gl_dif_stages(h.reshape(n, 1), l.reshape(n, 1), *tw1)
+            return h.reshape(n), l.reshape(n)
+
+        def inv_core(h, l):
+            h, l = gl_dit_stages(h.reshape(n, 1), l.reshape(n, 1), *itw1)
+            h, l = M.gl_mul(h, l, sh.reshape(1, 1), sl.reshape(1, 1))
+            return h.reshape(n), l.reshape(n)
+
+    def polymul_core(ah, al, bh, bl):
+        fah, fal = fwd_core(ah, al)
+        fbh, fbl = fwd_core(bh, bl)
+        ch, cl = M.gl_mul(fah, fal, fbh, fbl)
+        return inv_core(ch, cl)
+
+    spectral_to_natural = pos
+
+    if config.ordering == "natural":
+        perm = jnp.asarray(pos)
+        inv_perm_np = np.empty(n, dtype=np.int32)
+        inv_perm_np[pos] = np.arange(n, dtype=np.int32)
+        inv_perm = jnp.asarray(inv_perm_np)
+        raw_fwd, raw_inv = fwd_core, inv_core
+
+        def fwd_core(h, l):  # noqa: F811
+            h, l = raw_fwd(h, l)
+            return jnp.take(h, perm), jnp.take(l, perm)
+
+        def inv_core(h, l):  # noqa: F811
+            return raw_inv(jnp.take(h, inv_perm), jnp.take(l, inv_perm))
+
+    nega_core = None
+    if config.negacyclic:
+        psi = _dev_limbs(tw.negacyclic_psi_powers(field, n))
+        psi_inv = _dev_limbs(tw.negacyclic_psi_powers(field, n, inverse=True))
+
+        def nega_core(ah, al, bh, bl):
+            tah, tal = M.gl_mul(ah, al, *psi)
+            tbh, tbl = M.gl_mul(bh, bl, *psi)
+            ch, cl = polymul_core(tah, tal, tbh, tbl)
+            return M.gl_mul(ch, cl, *psi_inv)
+
+    jfwd = jax.jit(lambda hl: fwd_core(*hl))
+    jinv = jax.jit(lambda hl: inv_core(*hl))
+    jmul = jax.jit(lambda a, b: polymul_core(*a, *b))
+    jnega = jax.jit(lambda a, b: nega_core(*a, *b)) if nega_core else None
+
+    def _in(x):
+        """Accept a (hi, lo) tuple or a uint64-convertible host array."""
+        if isinstance(x, tuple):
+            return x, False
+        return M.gl_from_u64(np.asarray(x, dtype=np.uint64)), True
+
+    def _out(hl, as_u64):
+        return M.gl_to_u64(*hl) if as_u64 else hl
+
+    def _wrap1(fn):
+        def call(a):
+            hl, u64 = _in(a)
+            return _out(fn(hl), u64)
+
+        return call
+
+    def _wrap2(fn):
+        def call(a, b):
+            ahl, u64a = _in(a)
+            bhl, _ = _in(b)
+            return _out(fn(ahl, bhl), u64a)
+
+        return call
+
+    def batched_builder(B):
+        bfwd = jax.jit(jax.vmap(fwd_core))
+        binv = jax.jit(jax.vmap(inv_core))
+        bmul = jax.jit(jax.vmap(polymul_core))
+        return {
+            "fwd": _wrap1(lambda hl: bfwd(*hl)),
+            "inv": _wrap1(lambda hl: binv(*hl)),
+            "polymul": _wrap2(lambda a, b: bmul(*a, *b)),
+        }
+
+    return Plan(
+        config=config,
+        fwd=_wrap1(jfwd),
+        inv=_wrap1(jinv),
+        polymul=_wrap2(jmul),
+        negacyclic_polymul=_wrap2(jnega) if jnega else None,
+        spectral_to_natural=spectral_to_natural,
+        engine="xla",
+        reduction="goldilocks",
+        _batched_builder=batched_builder,
+    )

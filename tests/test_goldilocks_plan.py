@@ -1,0 +1,102 @@
+"""Goldilocks (p = 2^64 - 2^32 + 1) device plan: 64-bit field elements as
+(hi, lo) uint32 limb pairs (SURVEY.md §7 hard part 1, widened to 64-bit).
+Bit-exact vs the object-int NumPy oracle."""
+
+import numpy as np
+import pytest
+
+from ntt_aie_tpu import fields as F
+from ntt_aie_tpu import reference as ref
+from ntt_aie_tpu.config import NTTConfig
+from ntt_aie_tpu.api import NTTContext
+
+GL = F.GOLDILOCKS
+
+
+def _rand(rng, n):
+    # uniform over [0, p) via two 32-bit draws, rejection-free (bias ~2^-32
+    # irrelevant for exactness tests: values are reduced mod p explicitly)
+    v = rng.integers(0, 1 << 32, n, dtype=np.uint64) << np.uint64(32)
+    v |= rng.integers(0, 1 << 32, n, dtype=np.uint64)
+    return (v % np.uint64(GL.p)).astype(np.uint64)
+
+
+def test_auto_reduction_dispatch():
+    ctx = NTTContext(NTTConfig(field=GL, log_n=6))
+    assert ctx.plan.reduction == "goldilocks"
+
+
+def test_flat_forward_matches_oracle(rng):
+    cfg = NTTConfig(field=GL, log_n=6, rows_log2=6)  # flat path
+    ctx = NTTContext(cfg)
+    a = _rand(rng, cfg.n)
+    got = np.asarray(ctx.forward(a))
+    want = ref.ntt_dif(a.astype(object), GL)
+    assert np.array_equal(got.astype(object), want.astype(object))
+
+
+@pytest.mark.parametrize("log_n,rows_log2", [(8, 3), (10, 5)])
+def test_fourstep_forward_spectral_order(log_n, rows_log2, rng):
+    cfg = NTTConfig(field=GL, log_n=log_n, rows_log2=rows_log2)
+    ctx = NTTContext(cfg)
+    a = _rand(rng, cfg.n)
+    flat = np.asarray(ctx.forward(a))
+    pos = ctx.plan.spectral_to_natural
+    want_natural = ref.ntt_forward(a.astype(object), GL)
+    assert np.array_equal(flat[pos].astype(object), want_natural.astype(object))
+
+
+def test_roundtrip_and_natural_ordering(rng):
+    cfg = NTTConfig(field=GL, log_n=9, rows_log2=4, ordering="natural")
+    ctx = NTTContext(cfg)
+    a = _rand(rng, cfg.n)
+    fwd = np.asarray(ctx.forward(a))
+    assert np.array_equal(
+        fwd.astype(object), ref.ntt_forward(a.astype(object), GL).astype(object)
+    )
+    assert np.array_equal(np.asarray(ctx.inverse(fwd)), a)
+
+
+def test_limb_tuple_interface(rng):
+    """Device-resident form: (hi, lo) tuples in, tuples out."""
+    import jax.numpy as jnp
+    from ntt_aie_tpu.ops import modops as M
+
+    cfg = NTTConfig(field=GL, log_n=8)
+    ctx = NTTContext(cfg)
+    a = _rand(rng, cfg.n)
+    hi, lo = M.gl_from_u64(a)
+    out = ctx.forward((hi, lo))
+    assert isinstance(out, tuple) and out[0].dtype == jnp.uint32
+    assert np.array_equal(M.gl_to_u64(*out), np.asarray(ctx.forward(a)))
+
+
+def test_polymul_cyclic(rng):
+    cfg = NTTConfig(field=GL, log_n=6)
+    ctx = NTTContext(cfg)
+    a = _rand(rng, cfg.n)
+    b = _rand(rng, cfg.n)
+    got = np.asarray(ctx.polymul(a, b))
+    want = ref.schoolbook_cyclic(a.astype(object), b.astype(object), GL.p)
+    assert np.array_equal(got.astype(object), want.astype(object))
+
+
+def test_negacyclic_polymul(rng):
+    cfg = NTTConfig(field=GL, log_n=6, negacyclic=True)
+    ctx = NTTContext(cfg)
+    a = _rand(rng, cfg.n)
+    b = _rand(rng, cfg.n)
+    got = np.asarray(ctx.plan.negacyclic_polymul(a, b))
+    want = ref.schoolbook_negacyclic(a.astype(object), b.astype(object), GL.p)
+    assert np.array_equal(got.astype(object), want.astype(object))
+
+
+def test_batched_matches_single(rng):
+    cfg = NTTConfig(field=GL, log_n=8)
+    ctx = NTTContext(cfg)
+    B = 3
+    a = np.stack([_rand(rng, cfg.n) for _ in range(B)])
+    batched = ctx.plan.make_batched(B)
+    got = np.asarray(batched["fwd"](a))
+    for i in range(B):
+        assert np.array_equal(got[i], np.asarray(ctx.forward(a[i])))
