@@ -4,15 +4,21 @@ Metric (BASELINE.json): NTTs/sec/chip at n = 2^20, 32-bit prime
 (p = 469762049, Harvey lazy butterflies, Pallas four-step engine).
 
 Methodology — the TPU analog of the reference's two metrics (SURVEY.md §6):
-- throughput ("kernel-time" analog): device-resident batched transforms,
-  K async dispatches drained with one final sync (the reference's 10x
-  dispatch loop, src/test.cpp:157-175, with the trimmed-mean reduction of
-  plot_exectime.py:27-29). Inputs live on device — production serving
-  shape: no host transfer in the timed region.
-- a correctness gate: the timed pipeline is verified bit-exact against the
-  native C++ golden oracle (the reference's PASS gate,
-  src/test.cpp:221-247). Run AFTER timing: on the tunneled axon backend a
-  large device->host readback permanently degrades later dispatches.
+a dependent dispatch chain (each transform consumes the previous output, so
+no work can be elided), timed end to end behind a *readback fence* and
+divided by the chain length. The readback fence matters: on the tunneled
+axon backend, block_until_ready returns before device execution completes
+(timing an "async stream" with it implied 14 TB/s of HBM traffic on an
+819 GB/s chip). A tiny device_get slice of the final output is the only
+wait that provably covers execution; its latency amortizes over the chain.
+Repeats are reduced with the reference's trimmed mean (drop min and max,
+profile/plot_exectime.py:27-29). Batching (B=128) amortizes per-dispatch
+cost and is the production serving shape; inputs live on device — no host
+transfer in the timed region.
+
+Correctness gate: the timed pipeline's output is verified bit-exact against
+the native C++ golden oracle (the reference's PASS gate,
+src/test.cpp:221-247), run AFTER timing.
 
 vs_baseline: normalized butterfly rate vs the reference's best committed
 number — 16-tile AIE kernel time 14.375 us at n=2^11 (BASELINE.md §1) =
@@ -23,7 +29,6 @@ n/2*log2(n) butterflies.
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -37,6 +42,7 @@ def main() -> int:
     from ntt_aie_tpu import NTTConfig, P_469762049 as field
     from ntt_aie_tpu import twiddles as tw
     from ntt_aie_tpu.plan import build_plan
+    from ntt_aie_tpu.utils.timing import time_device
 
     log_n = 20
     n = 1 << log_n
@@ -47,31 +53,17 @@ def main() -> int:
     rng = np.random.default_rng(0)
     a = rng.integers(0, field.p, n)
 
-    # Bare batched pipeline (no explicit jit wrapper: an explicit-jit pallas
-    # dispatch on the axon tunnel also degrades every later dispatch).
-    B = 8 if on_tpu else 2
-    bat = plan.make_batched(B)
-    fwd = bat["fwd"]
+    B = 128 if on_tpu else 2
+    fwd = plan.make_batched(B)["fwd"]
 
     batch_in = np.empty((B, n), dtype=np.uint32)
     batch_in[:] = rng.integers(0, field.p, (B, n))
     batch_in[0] = a
     xs = jnp.asarray(batch_in)
 
-    # ---- throughput (timed before any readback) ----
-    fwd(xs).block_until_ready()  # warm
-
-    def run_round(k: int) -> float:
-        t0 = time.perf_counter()
-        outs = [fwd(xs) for _ in range(k)]
-        for o in outs:
-            o.block_until_ready()
-        return (time.perf_counter() - t0) / (k * B)
-
-    k = 8 if on_tpu else 2
-    rounds = sorted(run_round(k) for _ in range(5))
-    trimmed = rounds[1:-1]  # reference-style trimmed mean
-    sec_per_ntt = float(np.mean(trimmed))
+    iters = 10 if on_tpu else 3
+    res = time_device(fwd, xs, iters=iters, repeats=5)
+    sec_per_ntt = res["us_per_iter"] * 1e-6 / B
     ntts_per_sec = 1.0 / sec_per_ntt
 
     our_butterflies = (n // 2) * log_n / sec_per_ntt

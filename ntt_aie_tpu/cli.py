@@ -1,0 +1,233 @@
+"""Command-line driver — the L3 CLI (reference src/test.cpp:62-248 +
+README usage: one binary that dispatches the kernel, times it, and verifies
+against the CPU oracle with a PASS/FAIL exit code).
+
+    python -m ntt_aie_tpu info
+    python -m ntt_aie_tpu verify --field P_2013265921 --log-n 12
+    python -m ntt_aie_tpu verify --parity          # reference bit-exact mode
+    python -m ntt_aie_tpu bench  --field P_469762049 --log-n 20 --batch 32
+    python -m ntt_aie_tpu sweep  --field P_469762049 --log-ns 12-20 \
+        --batches 1,8,64 --out profile/exectime
+    python -m ntt_aie_tpu trace  --field P_469762049 --log-n 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from ntt_aie_tpu import fields as F
+from ntt_aie_tpu.config import NTTConfig
+
+
+def _field(name: str):
+    """Accept registry names ('p2013265921') and module attribute names
+    ('P_2013265921', 'GOLDILOCKS'), case-insensitively."""
+    key = name.lower().replace("_", "")
+    for reg_name, f in F.FIELDS.items():
+        if reg_name.lower().replace("_", "") == key:
+            return f
+    attr = getattr(F, name.upper(), None)
+    if attr is not None:
+        return attr
+    sys.exit(f"unknown field {name!r}; choices: {', '.join(F.FIELDS)}")
+
+
+def _rand_input(rng, field, n):
+    if field.p >= (1 << 32):
+        v = rng.integers(0, 1 << 32, n, dtype=np.uint64) << np.uint64(32)
+        v |= rng.integers(0, 1 << 32, n, dtype=np.uint64)
+        return (v % np.uint64(field.p)).astype(np.uint64)
+    return rng.integers(0, field.p, n)
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    import ntt_aie_tpu
+
+    print(f"ntt_aie_tpu {ntt_aie_tpu.__version__}")
+    print(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}")
+    for d in jax.devices()[:4]:
+        print(f"  {d.id}: {d.device_kind} ({d.platform})")
+    print("fields:")
+    for name, f in F.FIELDS.items():
+        print(
+            f"  {name:<14} p={f.p:<22} g={f.g:<3} max_n=2^{f.max_n.bit_length() - 1}"
+            f"  reduction={f.default_reduction()}"
+        )
+    return 0
+
+
+def _check(label: str, ok: bool, failures: list) -> None:
+    print(f"  [{'PASS' if ok else 'FAIL'}] {label}")
+    if not ok:
+        failures.append(label)
+
+
+def cmd_verify(args) -> int:
+    """Device-vs-oracle verification (the reference's PASS/FAIL gate,
+    src/test.cpp:221-247). Exit 0 on PASS, 1 on FAIL."""
+    from ntt_aie_tpu import reference as ref
+    from ntt_aie_tpu.api import NTTContext
+
+    failures: list = []
+    rng = np.random.default_rng(args.seed)
+
+    if args.parity:
+        # Reference bit-exact mode: p=3329, logN=11, a[i]=i, natural-order
+        # table through the butterfly network + ANS_ORDER_16 block layout.
+        cfg = NTTConfig(field=F.KYBER, log_n=11, table_convention="reference",
+                        ordering="reference")
+        ctx = NTTContext(cfg)
+        a = np.arange(1 << 11)
+        got = np.asarray(ctx.forward(np.asarray(a, dtype=np.uint32)))
+        want = ref.reference_device_output(a, F.KYBER, 1 << 11)
+        _check("reference device parity (logN=11, p=3329)",
+               np.array_equal(got.astype(np.int64), want), failures)
+    else:
+        field = _field(args.field)
+        cfg = NTTConfig(field=field, log_n=args.log_n, ordering="natural")
+        ctx = NTTContext(cfg)
+        a = _rand_input(rng, field, cfg.n)
+        big = field.p >= (1 << 32)
+
+        fwd = np.asarray(ctx.forward(a if big else np.asarray(a, dtype=np.uint32)))
+        want = ref.ntt_forward(a.astype(object) if big else a, field)
+        _check(f"forward vs oracle (n=2^{args.log_n})",
+               np.array_equal(fwd.astype(object), want.astype(object)), failures)
+
+        back = np.asarray(ctx.inverse(fwd))
+        _check("inverse roundtrip", np.array_equal(back, a), failures)
+
+        if args.log_n <= 12:
+            b = _rand_input(rng, field, cfg.n)
+            got = np.asarray(ctx.polymul(
+                a if big else np.asarray(a, dtype=np.uint32),
+                b if big else np.asarray(b, dtype=np.uint32)))
+            wantp = ref.cyclic_polymul(
+                a.astype(object) if big else a,
+                b.astype(object) if big else b, field)
+            _check("cyclic polymul vs oracle",
+                   np.array_equal(got.astype(object), wantp.astype(object)),
+                   failures)
+
+    if failures:
+        print("FAIL.")
+        return 1
+    print("PASS!")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax.numpy as jnp
+
+    from ntt_aie_tpu.plan import build_plan
+    from ntt_aie_tpu.profiling import roofline
+    from ntt_aie_tpu.utils.timing import time_device
+
+    field = _field(args.field)
+    cfg = NTTConfig(field=field, log_n=args.log_n)
+    plan = build_plan(cfg, engine=args.engine)
+    rng = np.random.default_rng(0)
+    fwd = plan.make_batched(args.batch)["fwd"]
+    a = jnp.asarray(rng.integers(0, min(field.p, 1 << 32), (args.batch, cfg.n)),
+                    dtype=jnp.uint32)
+    res = time_device(fwd, a, iters=args.iters, repeats=args.repeats)
+    rep = roofline.efficiency_report(res["us_per_iter"] / args.batch * 1e-6, cfg.n)
+    rep.update(engine=plan.engine, reduction=plan.reduction, batch=args.batch)
+    del rep["hbm_bytes"]
+    print(json.dumps(rep))
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from ntt_aie_tpu.profiling.sweep import run_sweep
+
+    lo, hi = (int(x) for x in args.log_ns.split("-"))
+    batches = [int(x) for x in args.batches.split(",")]
+    run_sweep(_field(args.field), range(lo, hi + 1), batches,
+              engine=args.engine, iters=args.iters, out_dir=args.out)
+    return 0
+
+
+def cmd_trace(args) -> int:
+    import jax.numpy as jnp
+
+    from ntt_aie_tpu.plan import build_plan
+    from ntt_aie_tpu.profiling.trace import capture_trace, summarize_trace
+
+    field = _field(args.field)
+    cfg = NTTConfig(field=field, log_n=args.log_n)
+    plan = build_plan(cfg, engine=args.engine)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, min(field.p, 1 << 32), cfg.n), dtype=jnp.uint32)
+    d = capture_trace(plan.fwd, a, trace_dir=args.out)
+    print(f"trace written to {d}")
+    for row in summarize_trace(d):
+        print(f"  {row['total_us']:10.2f} us  {row['op']}")
+    return 0
+
+
+def cmd_plot(args) -> int:
+    from ntt_aie_tpu.profiling import plots
+
+    written = plots.render_all(args.summary, args.out)
+    for p in written:
+        print(p)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="ntt_aie_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("info").set_defaults(fn=cmd_info)
+
+    pv = sub.add_parser("verify")
+    pv.add_argument("--field", default="P_2013265921")
+    pv.add_argument("--log-n", type=int, default=12)
+    pv.add_argument("--seed", type=int, default=0)
+    pv.add_argument("--parity", action="store_true",
+                    help="reference bit-exact parity mode")
+    pv.set_defaults(fn=cmd_verify)
+
+    pb = sub.add_parser("bench")
+    pb.add_argument("--field", default="P_469762049")
+    pb.add_argument("--log-n", type=int, default=20)
+    pb.add_argument("--batch", type=int, default=32)
+    pb.add_argument("--iters", type=int, default=20)
+    pb.add_argument("--repeats", type=int, default=5)
+    pb.add_argument("--engine", default="auto")
+    pb.set_defaults(fn=cmd_bench)
+
+    ps = sub.add_parser("sweep")
+    ps.add_argument("--field", default="P_469762049")
+    ps.add_argument("--log-ns", default="12-20")
+    ps.add_argument("--batches", default="1,8,64")
+    ps.add_argument("--iters", type=int, default=20)
+    ps.add_argument("--engine", default="auto")
+    ps.add_argument("--out", default=None)
+    ps.set_defaults(fn=cmd_sweep)
+
+    pt = sub.add_parser("trace")
+    pt.add_argument("--field", default="P_469762049")
+    pt.add_argument("--log-n", type=int, default=18)
+    pt.add_argument("--engine", default="auto")
+    pt.add_argument("--out", default=None)
+    pt.set_defaults(fn=cmd_trace)
+
+    pp = sub.add_parser("plot")
+    pp.add_argument("--summary", default="profile/exectime/summary.csv")
+    pp.add_argument("--out", default="profile/plots")
+    pp.set_defaults(fn=cmd_plot)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

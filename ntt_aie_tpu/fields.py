@@ -164,6 +164,8 @@ class PrimeField:
     def default_reduction(self) -> str:
         if self.supports_barrett32:
             return "barrett"
+        if self.p < (1 << 30) and self.p % 2 == 1:
+            return "harvey"  # fewest multiplies (reductions.resolve_kind)
         if self.supports_mont32:
             return "montgomery"
         if self.is_goldilocks:

@@ -161,11 +161,14 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
             h, l = M.gl_mul(h, l, sh.reshape(1, 1), sl.reshape(1, 1))
             return h.reshape(n), l.reshape(n)
 
-    def polymul_core(ah, al, bh, bl):
-        fah, fal = fwd_core(ah, al)
-        fbh, fbl = fwd_core(bh, bl)
+    # _fwd/_inv bind the spectral-order callables now, before the natural-
+    # ordering wrappers rebind fwd_core/inv_core below (pointwise products
+    # are order-agnostic; see plan.py polymul_fn).
+    def polymul_core(ah, al, bh, bl, _fwd=fwd_core, _inv=inv_core):
+        fah, fal = _fwd(ah, al)
+        fbh, fbl = _fwd(bh, bl)
         ch, cl = M.gl_mul(fah, fal, fbh, fbl)
-        return inv_core(ch, cl)
+        return _inv(ch, cl)
 
     spectral_to_natural = pos
 

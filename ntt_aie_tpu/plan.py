@@ -170,12 +170,14 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                                      inverse_tw=True, wmat=iwmat_poly, twiddle_pos="pre",
                                      canonicalize=True, batch=B, interpret=interpret)
 
+            # B == 1 builds the unbatched 2-D kernels (no batch grid axis),
+            # so the reshape must drop the leading dim in that case.
             def fwd_b(a):
-                x = _u32cast(a).reshape(B, n1, n2)
+                x = _u32cast(a).reshape((n1, n2) if B == 1 else (B, n1, n2))
                 return cp2b(cp1b(x)).reshape(B, n)
 
             def inv_b_core(a, icp):
-                x = _u32cast(a).reshape(B, n2, n1)
+                x = _u32cast(a).reshape((n2, n1) if B == 1 else (B, n2, n1))
                 return icp(icp2b(x)).reshape(B, n)
 
             def polymul_b(a, b):
@@ -248,16 +250,19 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         inv_fn = lambda a: _inv_core(a, scale_dev)  # noqa: E731
         inv_poly_fn = lambda a: _inv_core(a, scale_poly_dev)  # noqa: E731
 
-    def polymul_fn(a, b):
-        fa = fwd_fn(a)
-        fb = fwd_fn(b)
+    # _fwd/_inv bind the *spectral-order* callables now, before the ordering
+    # wrappers rebind fwd_fn below: pointwise products are order-agnostic, so
+    # polymul always runs in spectral order regardless of config.ordering.
+    def polymul_fn(a, b, _fwd=fwd_fn, _inv=inv_poly_fn):
+        fa = _fwd(a)
+        fb = _fwd(b)
         if kind == "montgomery":
             from ntt_aie_tpu.ops import modops as M
 
             fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)  # a*b*R^-1
         else:
             fc = red.mul_data(fa, fb)
-        return inv_poly_fn(fc)
+        return _inv(fc)
 
     spectral_to_natural = pos
 

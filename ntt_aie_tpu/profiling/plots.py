@@ -1,0 +1,128 @@
+"""Plot layer over sweep CSVs — the profile/plot_{exectime,kerneltime,
+efficiency}.py analogs (reference P15-P17, SURVEY.md §2.2), redrawn for the
+TPU data:
+
+- exectime:   µs per transform vs log2(n), one series per batch size
+              (plot_exectime.py analog; same trimmed-mean input data),
+- throughput: transforms/s vs log2(n) per batch (kernel-time analog —
+              the reference reports its marker-pair kernel time here),
+- efficiency: achieved HBM bandwidth vs the device roofline
+              (plot_efficiency.py analog; the reference plots the 5.5·N·log2N
+              op model vs fixed peaks — on TPU the binding peak is HBM).
+
+Colors are the validated reference categorical palette (fixed slot order,
+never cycled); batch identity keeps its color across filters.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+# Validated categorical palette, fixed slot order (dataviz reference
+# instance, light surface #fcfcfb).
+_SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#e87ba4", "#008300"]
+_SURFACE = "#fcfcfb"
+_TEXT = "#0b0b0b"
+_TEXT2 = "#52514e"
+_GRID = "#e4e3df"
+
+
+def _load(summary_csv: str) -> list[dict]:
+    with open(summary_csv) as f:
+        return [
+            {
+                **row,
+                "log_n": int(row["log_n"]),
+                "batch": int(row["batch"]),
+                "us_per_ntt": float(row["us_per_ntt"]),
+                "ntts_per_sec": float(row["ntts_per_sec"]),
+                "achieved_gbps": float(row["achieved_gbps"]),
+                "hbm_efficiency": float(row["hbm_efficiency"]),
+            }
+            for row in csv.DictReader(f)
+        ]
+
+
+def _style(ax, xlabel, ylabel, title):
+    ax.set_facecolor(_SURFACE)
+    ax.figure.set_facecolor(_SURFACE)
+    ax.grid(True, color=_GRID, linewidth=0.8, zorder=0)
+    ax.set_axisbelow(True)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+    for spine in ("left", "bottom"):
+        ax.spines[spine].set_color(_GRID)
+    ax.tick_params(colors=_TEXT2, labelsize=9)
+    ax.set_xlabel(xlabel, color=_TEXT2, fontsize=10)
+    ax.set_ylabel(ylabel, color=_TEXT2, fontsize=10)
+    ax.set_title(title, color=_TEXT, fontsize=12, loc="left", pad=12)
+
+
+def _series_by_batch(rows):
+    batches = sorted({r["batch"] for r in rows})
+    for i, b in enumerate(batches):
+        pts = sorted((r for r in rows if r["batch"] == b), key=lambda r: r["log_n"])
+        yield b, _SERIES[i % len(_SERIES)], pts
+
+
+def render_all(summary_csv: str, out_dir: str) -> list[str]:
+    """Render the three figures from a sweep summary.csv; returns paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = _load(summary_csv)
+    if not rows:
+        return []
+    os.makedirs(out_dir, exist_ok=True)
+    field = rows[0]["field"]
+    written = []
+
+    def _line_fig(ykey, ylabel, title, fname, logy):
+        fig, ax = plt.subplots(figsize=(7, 4.5), dpi=150)
+        for b, color, pts in _series_by_batch(rows):
+            xs = [r["log_n"] for r in pts]
+            ys = [r[ykey] for r in pts]
+            ax.plot(xs, ys, color=color, linewidth=2, marker="o",
+                    markersize=5, label=f"batch {b}", zorder=3)
+            ax.annotate(f"batch {b}", (xs[-1], ys[-1]), xytext=(6, 0),
+                        textcoords="offset points", color=_TEXT2,
+                        fontsize=8, va="center")
+        if logy:
+            ax.set_yscale("log")
+        _style(ax, "log2(n)", ylabel, title)
+        if len({r["batch"] for r in rows}) > 1:
+            ax.legend(frameon=False, fontsize=8, labelcolor=_TEXT2)
+        path = os.path.join(out_dir, fname)
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+        written.append(path)
+
+    _line_fig("us_per_ntt", "µs / transform",
+              f"Forward NTT time — {field}", "exectime.png", logy=True)
+    _line_fig("ntts_per_sec", "transforms / s",
+              f"Forward NTT throughput — {field}", "throughput.png", logy=True)
+
+    # Efficiency: best batch per size vs the HBM roofline, single series.
+    fig, ax = plt.subplots(figsize=(7, 4.5), dpi=150)
+    best = {}
+    for r in rows:
+        if r["log_n"] not in best or r["achieved_gbps"] > best[r["log_n"]]["achieved_gbps"]:
+            best[r["log_n"]] = r
+    pts = [best[k] for k in sorted(best)]
+    xs = [r["log_n"] for r in pts]
+    ax.plot(xs, [100 * r["hbm_efficiency"] for r in pts], color=_SERIES[0],
+            linewidth=2, marker="o", markersize=5, zorder=3)
+    ax.axhline(100, color=_TEXT2, linewidth=1, linestyle="--", zorder=2)
+    ax.annotate("HBM roofline", (xs[0], 100), xytext=(0, 4),
+                textcoords="offset points", color=_TEXT2, fontsize=8)
+    _style(ax, "log2(n)", "% of HBM peak",
+           f"Bandwidth efficiency (best batch) — {field}")
+    ax.set_ylim(bottom=0)
+    path = os.path.join(out_dir, "efficiency.png")
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    written.append(path)
+    return written

@@ -1,0 +1,88 @@
+"""Benchmark sweep harness -> reference-format CSVs.
+
+The reference's profile/exectime/ data is a grid of configs
+(ntt_{cores}core_logn{7..13}.csv, 10 raw timings per file) collected by hand
+from rebuilt binaries (SURVEY.md §5.6). Here the grid is a function call:
+each (log_n, batch) cell builds a plan, times the batched forward transform
+on device (chained-iteration methodology, utils/timing.py), and writes
+
+- one raw-runs CSV per cell (reference file format: one µs value per line),
+- one summary.csv with derived throughput/roofline columns.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ntt_aie_tpu.config import NTTConfig
+from ntt_aie_tpu.profiling import roofline
+
+
+def run_sweep(field, log_ns: Iterable[int], batches: Iterable[int] = (1,), *,
+              engine: str = "auto", reduction: str = "auto",
+              iters: int = 20, repeats: int = 5,
+              out_dir: Optional[str] = None, verbose: bool = True) -> list[dict]:
+    """Time the batched forward NTT over a (log_n, batch) grid.
+
+    Returns one row dict per cell; writes CSVs when out_dir is given.
+    """
+    import jax.numpy as jnp
+
+    from ntt_aie_tpu.plan import build_plan
+    from ntt_aie_tpu.utils.timing import time_device
+
+    rows = []
+    rng = np.random.default_rng(0)
+    for log_n in log_ns:
+        n = 1 << log_n
+        cfg = NTTConfig(field=field, log_n=log_n, reduction=reduction)
+        plan = build_plan(cfg, engine=engine)
+        for batch in batches:
+            fwd = plan.make_batched(batch)["fwd"]
+            a = jnp.asarray(
+                rng.integers(0, min(field.p, 1 << 32), (batch, n)),
+                dtype=jnp.uint32,
+            )
+            res = time_device(fwd, a, iters=iters, repeats=repeats)
+            us_per_ntt = res["us_per_iter"] / batch
+            rep = roofline.efficiency_report(us_per_ntt * 1e-6, n)
+            row = {
+                "field": field.name,
+                "log_n": log_n,
+                "batch": batch,
+                "engine": plan.engine,
+                "reduction": plan.reduction,
+                "us_per_ntt": round(us_per_ntt, 4),
+                "ntts_per_sec": round(rep["transforms_per_sec"], 1),
+                "butterflies_per_sec": rep["butterflies_per_sec"],
+                "model_gops": round(rep["model_gops"], 2),
+                "achieved_gbps": round(rep["achieved_gbps"], 2),
+                "hbm_efficiency": round(rep.get("hbm_efficiency") or 0.0, 4),
+                "runs_us": res["runs_us"],
+            }
+            rows.append(row)
+            if verbose:
+                print(
+                    f"logn={log_n:2d} b={batch:<4d} {us_per_ntt:9.2f} us/NTT  "
+                    f"{rep['transforms_per_sec']:10.0f} NTT/s  "
+                    f"{rep['achieved_gbps']:7.1f} GB/s"
+                )
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
+                raw = os.path.join(
+                    out_dir, f"ntt_{field.name}_b{batch}_logn{log_n}.csv"
+                )
+                with open(raw, "w") as f:
+                    for v in res["runs_us"]:
+                        f.write(f"{v / batch}\n")
+    if out_dir and rows:
+        cols = [k for k in rows[0] if k != "runs_us"]
+        with open(os.path.join(out_dir, "summary.csv"), "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=cols, extrasaction="ignore")
+            w.writeheader()
+            w.writerows(rows)
+    return rows

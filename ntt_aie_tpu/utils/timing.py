@@ -5,12 +5,18 @@ dispatch (src/test.cpp:157-175, trimmed mean of 10) and on-device kernel
 time from hardware trace marker pairs (profile/plot_kerneltime.py:25-37).
 
 On a TPU reached through an RPC tunnel, per-dispatch host timing is
-dominated by transport noise (observed: sync-wait quantization ~30 ms,
-pipelined-queue artifacts). The trustworthy equivalent of the reference's
-marker-pair metric is *device-side iteration*: chain ITERS dependent
-executions of the function inside one jitted lax.fori_loop, time the single
-dispatch end to end, divide. Data dependence between iterations stops XLA
-from eliding work; the loop body re-consumes its own output.
+dominated by transport noise, and — measured on the axon backend —
+``block_until_ready`` is NOT an execution fence: an "async stream" of
+batch-128 n=2^20 transforms timed with block_until_ready implied 14 TB/s
+of HBM traffic on an 819 GB/s part. The only fence that provably waits for
+device execution is a *readback* that depends on the result.
+
+The trustworthy equivalent of the reference's marker-pair metric is
+therefore a *dependent dispatch chain with a readback fence*: issue ITERS
+dispatches where each consumes the previous output (y = fn(y)), then
+device_get a tiny slice of the final output, divide. Data dependence stops
+XLA from eliding work; the slice readback forces the whole chain to have
+executed; its ~ms tunnel latency amortizes over ITERS.
 
 ``time_device`` returns (seconds_per_iter, result) plus the trimmed-mean
 host-dispatch numbers for completeness, mirroring both reference metrics.
@@ -26,21 +32,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def fence(out) -> None:
+    """True execution fence: device_get a tiny slice that depends on `out`.
+
+    block_until_ready is not sufficient on tunneled backends (see module
+    docstring); a readback is the only wait that provably covers device
+    execution of everything `out` depends on."""
+    leaves = jax.tree_util.tree_leaves(out)
+    for leaf in leaves:
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[:8]))
+            return
+
+
 def chain_loop(fn, iters: int):
-    """jit(x -> fn applied `iters` times, dependently)."""
+    """x -> fn applied `iters` times, dependently, as eager dispatches.
 
-    @jax.jit
+    Deliberately NOT a lax.fori_loop: eager dispatches pipeline on the
+    queue, and the dependent chain + readback fence measures the same
+    device time without retrace/loop-carry constraints on fn."""
+
     def run(x):
-        def body(_, acc):
-            return fn(acc)
-
-        return jax.lax.fori_loop(0, iters, body, x)
+        for _ in range(iters):
+            x = fn(x)
+        return x
 
     return run
 
 
 def time_device(fn, x, *, iters: int = 100, repeats: int = 5) -> dict:
-    """Time fn on device via a chained fori_loop.
+    """Time fn on device via a dependent dispatch chain + readback fence.
 
     Requires fn's output to be shape/dtype compatible with its input
     (true for fwd and inv NTTs on flat uint32 vectors).
@@ -48,12 +69,12 @@ def time_device(fn, x, *, iters: int = 100, repeats: int = 5) -> dict:
     """
     run = chain_loop(fn, iters)
     out = run(x)
-    out.block_until_ready()  # compile + warm
+    fence(out)  # compile + warm
     runs = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = run(x)
-        out.block_until_ready()
+        fence(out)
         runs.append((time.perf_counter() - t0) / iters * 1e6)
     runs_sorted = sorted(runs)
     # trimmed mean, reference-style (drop min and max; plot_exectime.py:27-29)
@@ -72,11 +93,11 @@ def time_host_dispatch(fn, x, *, runs: int = 10) -> dict:
     On tunneled devices this measures transport, not the chip — reported
     for parity, not for optimization decisions."""
     jfn = jax.jit(fn)
-    jfn(x).block_until_ready()
+    fence(jfn(x))
     ts = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        jfn(x).block_until_ready()
+        fence(jfn(x))
         ts.append((time.perf_counter() - t0) * 1e6)
     ts_sorted = sorted(ts)
     trimmed = ts_sorted[1:-1] if len(ts_sorted) > 2 else ts_sorted

@@ -100,3 +100,14 @@ def test_batched_matches_single(rng):
     got = np.asarray(batched["fwd"](a))
     for i in range(B):
         assert np.array_equal(got[i], np.asarray(ctx.forward(a[i])))
+
+
+def test_polymul_with_natural_ordering(rng):
+    """Regression: same ordering-wrapper leak as plan.py (see test_plan)."""
+    cfg = NTTConfig(field=GL, log_n=6, ordering="natural")
+    ctx = NTTContext(cfg)
+    a = _rand(rng, cfg.n)
+    b = _rand(rng, cfg.n)
+    got = np.asarray(ctx.polymul(a, b))
+    want = ref.schoolbook_cyclic(a.astype(object), b.astype(object), GL.p)
+    assert np.array_equal(got.astype(object), want.astype(object))

@@ -193,3 +193,31 @@ def test_pallas_engine_matches_xla(rng):
     assert np.array_equal(fx, fp)
     back = np.asarray(plan_p.inv(jnp.asarray(fp)))
     assert np.array_equal(back, a)
+
+
+def test_polymul_with_natural_ordering(rng):
+    """Regression: the ordering wrapper must not leak into polymul's
+    internal transforms (pointwise products run in spectral order)."""
+    field = F.P_2013265921
+    cfg = NTTConfig(field=field, log_n=10, ordering="natural")
+    ctx = NTTContext(cfg)
+    a = rng.integers(0, field.p, cfg.n)
+    b = rng.integers(0, field.p, cfg.n)
+    got = np.asarray(ctx.polymul(jnp.asarray(a, dtype=jnp.uint32), jnp.asarray(b, dtype=jnp.uint32)))
+    want = ref.cyclic_polymul(a, b, field)
+    assert np.array_equal(got.astype(np.int64), want)
+
+
+def test_pallas_batched_batch_one(rng):
+    """Regression: make_batched(1) builds unbatched 2-D kernels; the (1, n)
+    input must reshape to (n1, n2), not (1, n1, n2)."""
+    from ntt_aie_tpu.plan import build_plan
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=11, rows_log2=4)
+    plan_p = build_plan(cfg, engine="pallas", interpret=True)
+    a = rng.integers(0, field.p, cfg.n)
+    batched = plan_p.make_batched(1)
+    got = np.asarray(batched["fwd"](jnp.asarray(a[None], dtype=jnp.uint32)))
+    assert got.shape == (1, cfg.n)
+    assert np.array_equal(got[0], np.asarray(plan_p.fwd(jnp.asarray(a, dtype=jnp.uint32))))

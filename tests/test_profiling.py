@@ -1,0 +1,133 @@
+"""Observability layer: roofline models, sweep CSVs, trace decode, plots,
+CLI drivers (SURVEY.md §5.1/§5.5 equivalents)."""
+
+import csv
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ntt_aie_tpu import fields as F
+from ntt_aie_tpu.profiling import roofline
+
+
+def test_butterfly_and_op_models():
+    assert roofline.butterflies(2048) == 1024 * 11
+    # the reference's model (profile/plot_efficiency.py:25): 5.5*N*log2N
+    assert roofline.model_ops(2048) == 5.5 * 2048 * 11
+    assert roofline.bytes_per_transform(1 << 20) == 2 * 2 * (1 << 20) * 4
+
+
+def test_efficiency_report_known_device():
+    rep = roofline.efficiency_report(10e-6, 1 << 16, device_kind="TPU v5 lite")
+    assert rep["transforms_per_sec"] == pytest.approx(1e5)
+    assert rep["hbm_gbps"] == 819.0
+    assert rep["hbm_efficiency"] == pytest.approx(
+        rep["achieved_gbps"] / 819.0
+    )
+
+
+def test_efficiency_report_unknown_device():
+    rep = roofline.efficiency_report(10e-6, 1 << 16, device_kind="Abacus")
+    assert rep["hbm_gbps"] is None
+    assert "hbm_efficiency" not in rep
+
+
+def test_sweep_writes_reference_format_csvs(tmp_path):
+    from ntt_aie_tpu.profiling.sweep import run_sweep
+
+    rows = run_sweep(F.P_469762049, [8, 9], [1, 2], iters=2, repeats=3,
+                     out_dir=str(tmp_path), verbose=False)
+    assert len(rows) == 4
+    raw = sorted(glob.glob(str(tmp_path / "ntt_*_logn*.csv")))
+    assert len(raw) == 4  # one raw-runs file per cell (reference format)
+    with open(raw[0]) as f:
+        vals = [float(line) for line in f]
+    assert len(vals) == 3  # one µs value per line, like profile/exectime/
+    with open(tmp_path / "summary.csv") as f:
+        got = list(csv.DictReader(f))
+    assert len(got) == 4 and "hbm_efficiency" in got[0]
+
+
+def test_plots_render(tmp_path):
+    from ntt_aie_tpu.profiling import plots
+    from ntt_aie_tpu.profiling.sweep import run_sweep
+
+    run_sweep(F.P_469762049, [8, 9], [1, 2], iters=2, repeats=3,
+              out_dir=str(tmp_path), verbose=False)
+    out = plots.render_all(str(tmp_path / "summary.csv"), str(tmp_path / "plots"))
+    assert [os.path.basename(p) for p in out] == [
+        "exectime.png", "throughput.png", "efficiency.png"
+    ]
+    for p in out:
+        assert os.path.getsize(p) > 1000
+
+
+def test_trace_capture_and_decode(tmp_path):
+    """capture_trace + summarize_trace roundtrip (parse_trace.py analog).
+    On the CPU test backend there may be no /device process; the decode
+    must still parse the trace without error."""
+    import jax.numpy as jnp
+
+    from ntt_aie_tpu.profiling.trace import (
+        capture_trace, find_chrome_trace, summarize_trace,
+    )
+
+    fn = lambda x: jnp.dot(x, x)  # noqa: E731
+    d = capture_trace(fn, jnp.ones((64, 64), jnp.float32),
+                      trace_dir=str(tmp_path))
+    assert find_chrome_trace(d) is not None
+    rows = summarize_trace(d)
+    assert isinstance(rows, list)
+    for r in rows:
+        assert set(r) == {"op", "total_us", "count"}
+
+
+def test_kernel_markers_context():
+    import jax
+    import jax.numpy as jnp
+
+    from ntt_aie_tpu.profiling.trace import kernel_markers
+
+    @jax.jit
+    def f(x):
+        with kernel_markers("ntt_iteration"):
+            return x + 1
+
+    assert int(f(jnp.uint32(1))) == 2
+
+
+# ---- CLI (the reference's test.exe role) ----
+
+def test_cli_verify_pass(capsys):
+    from ntt_aie_tpu.cli import main
+
+    assert main(["verify", "--field", "p469762049", "--log-n", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "PASS!" in out
+
+
+def test_cli_verify_parity(capsys):
+    from ntt_aie_tpu.cli import main
+
+    assert main(["verify", "--parity"]) == 0
+    assert "reference device parity" in capsys.readouterr().out
+
+
+def test_cli_bench_json(capsys):
+    from ntt_aie_tpu.cli import main
+
+    assert main(["bench", "--field", "p469762049", "--log-n", "10",
+                 "--batch", "2", "--iters", "2", "--repeats", "3"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n"] == 1024 and rep["transforms_per_sec"] > 0
+
+
+def test_cli_field_aliases():
+    from ntt_aie_tpu.cli import _field
+
+    assert _field("P_2013265921").p == 2013265921
+    assert _field("p2013265921").p == 2013265921
+    assert _field("GOLDILOCKS").p == F.GOLDILOCKS.p
