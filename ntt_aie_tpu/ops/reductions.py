@@ -49,6 +49,9 @@ class Reduction:
     add: Callable
     sub: Callable
     canonicalize: Callable
+    # Optional cheaper a-b whose result may exceed the domain but is legal
+    # as mul_const input (Harvey: [0,4p) into Shoup). None = use sub.
+    sub_for_mul: Callable | None = None
 
 
 def make_reduction(kind: str, field) -> Reduction:
@@ -115,6 +118,12 @@ def make_reduction(kind: str, field) -> Reduction:
             q = M.umulhi32(x, w_shoup)
             return jnp.asarray(x, jnp.uint32) * jnp.asarray(w, jnp.uint32) - q * pc
 
+        def sub_lazy(a, b):
+            # a - b as a value in [0, 4p), NO conditional correction: legal
+            # whenever the consumer is mulc (Shoup accepts any x < 2^32).
+            # Saves the compare+select of sub() on the butterfly's mul path.
+            return jnp.asarray(a, jnp.uint32) + (p2 - b)
+
         def muld(x, y):
             # canonical product of possibly-lazy inputs: REDC valid since
             # x*y < 4p^2 < p*2^32 (p < 2^30), then Montgomery-form fixup.
@@ -134,7 +143,7 @@ def make_reduction(kind: str, field) -> Reduction:
         return Reduction(
             name="harvey", p=p, lazy=True, n_tables=2,
             prepare_table=prep, mul_const=mulc, mul_data=muld,
-            add=add, sub=sub, canonicalize=canon,
+            add=add, sub=sub, canonicalize=canon, sub_for_mul=sub_lazy,
         )
 
     raise ValueError(f"unknown reduction kind {kind!r}")

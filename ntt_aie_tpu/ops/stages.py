@@ -35,6 +35,7 @@ def dif_stages(x, tw_packed: tuple, p: int, red: Reduction):
     """
     n, c = x.shape
     logn = n.bit_length() - 1
+    subm = red.sub_for_mul or red.sub
     for s in range(logn):
         t = n >> (s + 1)
         blocks = n // (2 * t)
@@ -43,7 +44,7 @@ def dif_stages(x, tw_packed: tuple, p: int, red: Reduction):
         v = xr[:, 1]
         ws = tuple(tp[s].reshape(blocks, t, 1) for tp in tw_packed)
         new_u = red.add(u, v)
-        new_v = red.mul_const(red.sub(u, v), *ws)
+        new_v = red.mul_const(subm(u, v), *ws)
         x = jnp.stack([new_u, new_v], axis=1).reshape(n, c)
     return x
 
