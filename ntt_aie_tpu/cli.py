@@ -172,6 +172,17 @@ def cmd_trace(args) -> int:
     return 0
 
 
+def cmd_scaling(args) -> int:
+    from ntt_aie_tpu.profiling.scaling import run_scaling
+
+    counts = [int(x) for x in args.devices.split(",")]
+    rows = run_scaling(_field(args.field), args.log_n, counts,
+                       mode=args.mode, engine=args.engine, batch=args.batch,
+                       iters=args.iters)
+    print(json.dumps(rows))
+    return 0
+
+
 def cmd_plot(args) -> int:
     from ntt_aie_tpu.profiling import plots
 
@@ -219,6 +230,16 @@ def main(argv=None) -> int:
     pt.add_argument("--engine", default="auto")
     pt.add_argument("--out", default=None)
     pt.set_defaults(fn=cmd_trace)
+
+    pc = sub.add_parser("scaling")
+    pc.add_argument("--field", default="P_469762049")
+    pc.add_argument("--log-n", type=int, default=18)
+    pc.add_argument("--devices", default="1,2,4,8")
+    pc.add_argument("--mode", default="strong", choices=["strong", "weak"])
+    pc.add_argument("--engine", default="xla")
+    pc.add_argument("--batch", type=int, default=4)
+    pc.add_argument("--iters", type=int, default=5)
+    pc.set_defaults(fn=cmd_scaling)
 
     pp = sub.add_parser("plot")
     pp.add_argument("--summary", default="profile/exectime/summary.csv")

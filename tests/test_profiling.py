@@ -131,3 +131,15 @@ def test_cli_field_aliases():
     assert _field("P_2013265921").p == 2013265921
     assert _field("p2013265921").p == 2013265921
     assert _field("GOLDILOCKS").p == F.GOLDILOCKS.p
+
+
+def test_scaling_harness_virtual_mesh():
+    """Scaling rows over the 8-virtual-device CPU mesh (structure check;
+    absolute numbers only meaningful on a real slice)."""
+    from ntt_aie_tpu.profiling.scaling import run_scaling
+
+    rows = run_scaling(F.P_469762049, 10, (1, 2, 4), batch=2, iters=2,
+                       repeats=2, verbose=False)
+    assert [r["devices"] for r in rows] == [1, 2, 4]
+    assert rows[0]["efficiency"] == 1.0
+    assert all(r["ntts_per_sec"] > 0 for r in rows)
