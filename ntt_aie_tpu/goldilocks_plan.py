@@ -99,12 +99,13 @@ def _pack_dev(field, n, *, direction, inverse=False):
 
 def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
                           interpret: bool = False):
-    """Goldilocks plan. Engine is always the XLA stage loops (limb arithmetic
-    is elementwise uint32 jnp — XLA fuses it; a dedicated Pallas limb kernel
-    is a later optimization), so `engine`/`interpret` are accepted for
-    signature parity and ignored."""
-    del engine, interpret
+    """Goldilocks plan. Two engines for the four-step column passes:
+    'pallas' (ops/pallas_gl.py fused limb kernels — the TPU hot path) and
+    'xla' (the gl_dif/dit_stages loops below; runs anywhere)."""
     from ntt_aie_tpu.plan import Plan  # avoid import cycle at module load
+
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     field = config.field
     n = config.n
@@ -120,30 +121,60 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
         iwmat_scaled = iwmat.astype(object) * n_inv % p
         pos = (br2[np.arange(n) // n1] * n1 + br1[np.arange(n) % n1]).astype(np.int32)
 
-        tw1 = _pack_dev(field, n1, direction="dif")
-        tw2 = _pack_dev(field, n2, direction="dif")
-        itw1 = _pack_dev(field, n1, direction="dit", inverse=True)
-        itw2 = _pack_dev(field, n2, direction="dit", inverse=True)
-        wmat_dev = _dev_limbs(wmat)
-        iwmat_dev = _dev_limbs(iwmat_scaled)
+        if engine == "pallas":
+            from ntt_aie_tpu.ops.pallas_gl import make_gl_colpass
 
-        def fwd_core(h, l):
-            h = h.reshape(n1, n2)
-            l = l.reshape(n1, n2)
-            h, l = gl_dif_stages(h, l, *tw1)
-            h, l = M.gl_mul(h, l, *wmat_dev)
-            h, l = h.T, l.T
-            h, l = gl_dif_stages(h, l, *tw2)
-            return h.reshape(n), l.reshape(n)
+            # Same fused-pass structure as the 32-bit plan (plan.py): the
+            # four-step twiddle rides the SECOND pass as a 'pre' multiply on
+            # the transposed matrix; pass 1 fuses the transpose into its
+            # output write.
+            cp1 = make_gl_colpass(field, n1, n2, direction="dif",
+                                  transpose_out=True, interpret=interpret)
+            cp2 = make_gl_colpass(field, n2, n1, direction="dif",
+                                  wmat=np.ascontiguousarray(wmat.T),
+                                  twiddle_pos="pre", interpret=interpret)
+            icp2 = make_gl_colpass(field, n2, n1, direction="dit",
+                                   inverse_tw=True, transpose_out=True,
+                                   interpret=interpret)
+            icp1 = make_gl_colpass(field, n1, n2, direction="dit",
+                                   inverse_tw=True, wmat=iwmat_scaled,
+                                   twiddle_pos="pre", interpret=interpret)
 
-        def inv_core(h, l):
-            h = h.reshape(n2, n1)
-            l = l.reshape(n2, n1)
-            h, l = gl_dit_stages(h, l, *itw2)
-            h, l = h.T, l.T
-            h, l = M.gl_mul(h, l, *iwmat_dev)
-            h, l = gl_dit_stages(h, l, *itw1)
-            return h.reshape(n), l.reshape(n)
+            def fwd_core(h, l):
+                h, l = cp1(h.reshape(n1, n2), l.reshape(n1, n2))
+                h, l = cp2(h, l)
+                return h.reshape(n), l.reshape(n)
+
+            def inv_core(h, l):
+                h, l = icp2(h.reshape(n2, n1), l.reshape(n2, n1))
+                h, l = icp1(h, l)
+                return h.reshape(n), l.reshape(n)
+
+        else:
+            tw1 = _pack_dev(field, n1, direction="dif")
+            tw2 = _pack_dev(field, n2, direction="dif")
+            itw1 = _pack_dev(field, n1, direction="dit", inverse=True)
+            itw2 = _pack_dev(field, n2, direction="dit", inverse=True)
+            wmat_dev = _dev_limbs(wmat)
+            iwmat_dev = _dev_limbs(iwmat_scaled)
+
+            def fwd_core(h, l):
+                h = h.reshape(n1, n2)
+                l = l.reshape(n1, n2)
+                h, l = gl_dif_stages(h, l, *tw1)
+                h, l = M.gl_mul(h, l, *wmat_dev)
+                h, l = h.T, l.T
+                h, l = gl_dif_stages(h, l, *tw2)
+                return h.reshape(n), l.reshape(n)
+
+            def inv_core(h, l):
+                h = h.reshape(n2, n1)
+                l = l.reshape(n2, n1)
+                h, l = gl_dit_stages(h, l, *itw2)
+                h, l = h.T, l.T
+                h, l = M.gl_mul(h, l, *iwmat_dev)
+                h, l = gl_dit_stages(h, l, *itw1)
+                return h.reshape(n), l.reshape(n)
 
     else:  # flat path (small n)
         n_inv = field.inv(n)

@@ -1,0 +1,203 @@
+"""Fused Pallas column-pass NTT kernels for Goldilocks (p = 2^64 - 2^32 + 1).
+
+Same kernel shape as ops/pallas_ntt.py (all butterfly stages of one
+four-step pass fused into a single kernel, HBM read/written once per pass,
+optional fused transpose and four-step twiddle multiply) but every value is
+a (hi, lo) uint32 limb pair and butterflies run the gl_* limb arithmetic
+(ops/modops.py): 4-partial-product 128-bit multiply reduced via
+2^64 ≡ 2^32 - 1, 2^96 ≡ -1. This is the 64-bit analog of the reference's
+acc64 emulation requirement (SURVEY.md §7 hard part 1).
+
+Values stay canonical [0, p) at every step (gl_add/gl_sub/gl_mul fold), so
+there is no lazy-domain bookkeeping and no epilogue canonicalization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ntt_aie_tpu.ops import modops as M
+
+
+def _stage_shapes(n1: int, direction: str) -> list[int]:
+    logn = n1.bit_length() - 1
+    if direction == "dif":
+        return [n1 >> (s + 1) for s in range(logn)]
+    return [1 << s for s in range(logn)]
+
+
+def build_gl_colpass(
+    *,
+    n1: int,
+    n2: int,
+    direction: str,  # 'dif' | 'dit'
+    twiddle_pos: str = "none",  # 'none' | 'pre'
+    block_lanes: int | None = None,
+    batch: int = 1,
+    transpose_out: bool = False,
+    interpret: bool = False,
+):
+    """pallas_call fn(xh, xl, *stage_tw_limbs, *[wmat limbs]) -> (yh, yl)
+    over (n1, block_lanes) VMEM slabs, gridded over n2 // block_lanes
+    (x batch). Stage twiddles: per stage a (t,1) hi and lo array; wmat:
+    (n1, n2) hi and lo."""
+    logn = n1.bit_length() - 1
+    ts = _stage_shapes(n1, direction)
+    if block_lanes is None:
+        # Two limb planes double the live temporaries vs the 32-bit kernel.
+        block_lanes = max(128, min(256, (1 << 18) // max(n1, 1)))
+    block_lanes = min(block_lanes, n2)
+    assert n2 % block_lanes == 0
+    grid = n2 // block_lanes
+
+    def kernel(*refs):
+        xh_ref, xl_ref = refs[0], refs[1]
+        tw_refs = refs[2 : 2 + 2 * logn]
+        idx = 2 + 2 * logn
+        wmat_refs = refs[idx : idx + 2] if twiddle_pos != "none" else ()
+        oh_ref, ol_ref = refs[-2], refs[-1]
+
+        h = xh_ref[:]
+        l = xl_ref[:]
+        if batch > 1:
+            h = h.reshape(h.shape[-2], h.shape[-1])
+            l = l.reshape(l.shape[-2], l.shape[-1])
+        if twiddle_pos == "pre":
+            wh = wmat_refs[0][:].reshape(h.shape)
+            wl = wmat_refs[1][:].reshape(h.shape)
+            h, l = M.gl_mul(h, l, wh, wl)
+        c = h.shape[1]
+        for s in range(logn):
+            t = ts[s]
+            blocks = n1 // (2 * t)
+            hr = h.reshape(blocks, 2, t, c)
+            lr = l.reshape(blocks, 2, t, c)
+            uh, ul = hr[:, 0], lr[:, 0]
+            vh, vl = hr[:, 1], lr[:, 1]
+            wh = tw_refs[2 * s][:].reshape(1, t, 1)
+            wl = tw_refs[2 * s + 1][:].reshape(1, t, 1)
+            if direction == "dif":
+                ah, al = M.gl_add(uh, ul, vh, vl)
+                dh, dl = M.gl_sub(uh, ul, vh, vl)
+                bh, bl = M.gl_mul(dh, dl, wh, wl)
+            else:
+                wvh, wvl = M.gl_mul(vh, vl, wh, wl)
+                ah, al = M.gl_add(uh, ul, wvh, wvl)
+                bh, bl = M.gl_sub(uh, ul, wvh, wvl)
+            h = jnp.stack([ah, bh], axis=1).reshape(n1, c)
+            l = jnp.stack([al, bl], axis=1).reshape(n1, c)
+        if transpose_out:
+            h = h.T
+            l = l.T
+        oh_ref[:] = h.reshape(oh_ref.shape)
+        ol_ref[:] = l.reshape(ol_ref.shape)
+
+    if batch == 1:
+        x_spec = pl.BlockSpec((n1, block_lanes), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+        wmat_spec = x_spec
+        tw_specs = [
+            pl.BlockSpec((t, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for t in ts for _ in range(2)
+        ]
+        if transpose_out:
+            out_spec = pl.BlockSpec((block_lanes, n1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((n2, n1), jnp.uint32)
+        else:
+            out_spec = x_spec
+            out_shape = jax.ShapeDtypeStruct((n1, n2), jnp.uint32)
+        full_grid = (grid,)
+    else:
+        x_spec = pl.BlockSpec((1, n1, block_lanes), lambda i, b: (b, 0, i),
+                              memory_space=pltpu.VMEM)
+        wmat_spec = pl.BlockSpec((n1, block_lanes), lambda i, b: (0, i),
+                                 memory_space=pltpu.VMEM)
+        tw_specs = [
+            pl.BlockSpec((t, 1), lambda i, b: (0, 0), memory_space=pltpu.VMEM)
+            for t in ts for _ in range(2)
+        ]
+        if transpose_out:
+            out_spec = pl.BlockSpec((1, block_lanes, n1), lambda i, b: (b, i, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((batch, n2, n1), jnp.uint32)
+        else:
+            out_spec = x_spec
+            out_shape = jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32)
+        full_grid = (grid, batch)
+
+    in_specs = [x_spec, x_spec] + tw_specs
+    if twiddle_pos != "none":
+        in_specs.extend([wmat_spec, wmat_spec])
+
+    return pl.pallas_call(
+        kernel,
+        grid=full_grid,
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(out_shape, out_shape),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+
+class GLColpass:
+    """Bundles the pallas_call with its prepared limb twiddle operands."""
+
+    def __init__(self, fn, tw_limbs: list, wmat_limbs: tuple | None):
+        self.fn = fn
+        self.tw = [jnp.asarray(t) for t in tw_limbs]
+        self.wmat = (
+            tuple(jnp.asarray(w) for w in wmat_limbs) if wmat_limbs else None
+        )
+
+    def __call__(self, h, l):
+        args = [h, l] + self.tw
+        if self.wmat is not None:
+            args.extend(self.wmat)
+        return self.fn(*args)
+
+
+def make_gl_colpass(
+    field,
+    n1: int,
+    n2: int,
+    *,
+    direction: str,
+    inverse_tw: bool = False,
+    wmat: np.ndarray | None = None,
+    twiddle_pos: str = "none",
+    interpret: bool = False,
+    block_lanes: int | None = None,
+    batch: int = 1,
+    transpose_out: bool = False,
+) -> GLColpass:
+    from ntt_aie_tpu import twiddles as tw
+    from ntt_aie_tpu.goldilocks_plan import _split_limbs
+
+    if direction == "dif":
+        vecs = tw.dif_stage_twiddles(field, n1, inverse=inverse_tw)
+    else:
+        vecs = tw.dit_stage_twiddles(field, n1, inverse=inverse_tw)
+    tw_limbs: list[np.ndarray] = []
+    for v in vecs:
+        hi, lo = _split_limbs(v.reshape(-1, 1))
+        tw_limbs.extend([hi, lo])
+    wmat_limbs = _split_limbs(wmat) if wmat is not None else None
+    fn = build_gl_colpass(
+        n1=n1,
+        n2=n2,
+        direction=direction,
+        twiddle_pos=twiddle_pos,
+        interpret=interpret,
+        block_lanes=block_lanes,
+        batch=batch,
+        transpose_out=transpose_out,
+    )
+    return GLColpass(fn, tw_limbs, wmat_limbs)

@@ -111,3 +111,20 @@ def test_polymul_with_natural_ordering(rng):
     got = np.asarray(ctx.polymul(a, b))
     want = ref.schoolbook_cyclic(a.astype(object), b.astype(object), GL.p)
     assert np.array_equal(got.astype(object), want.astype(object))
+
+
+def test_pallas_gl_engine_matches_xla(rng):
+    """Fused Pallas limb kernels (interpret mode) vs the XLA limb loops."""
+    from ntt_aie_tpu.goldilocks_plan import build_goldilocks_plan
+
+    cfg = NTTConfig(field=GL, log_n=10, rows_log2=4)  # (16, 64)
+    a = _rand(rng, cfg.n)
+    plan_x = build_goldilocks_plan(cfg, engine="xla")
+    plan_p = build_goldilocks_plan(cfg, engine="pallas", interpret=True)
+    fx = np.asarray(plan_x.fwd(a))
+    fp = np.asarray(plan_p.fwd(a))
+    assert np.array_equal(fx, fp)
+    assert np.array_equal(np.asarray(plan_p.inv(fp)), a)
+    b = _rand(rng, cfg.n)
+    assert np.array_equal(np.asarray(plan_x.polymul(a, b)),
+                          np.asarray(plan_p.polymul(a, b)))
