@@ -100,74 +100,59 @@ def build_colpass(
         def stage_tw(s):
             return tuple(tw_refs[s * nt + k][:] for k in range(nt))
 
-        # Fused radix-4: two butterfly stages per pass over the slab — one
-        # full-size stack/reshape round instead of two, and the sub feeding
-        # each constant-multiply skips its conditional correction
-        # (sub_for_mul). Bit-exact with the sequential radix-2 stages.
+        # Fused radix-2^K: K butterfly stages per pass over the slab with a
+        # SINGLE full-size concat/reshape round (vs one per radix-2 stage),
+        # and every sub feeding a constant-multiply skips its conditional
+        # correction (sub_for_mul: Shoup accepts any x < 2^32). Bit-exact
+        # with the sequential radix-2 stages by construction.
+        def net_dif(arr, vecs, tl):
+            # arr: (blocks, 2^r, tl, c); vecs[0] = largest-stride stage.
+            # Returns leaf parts (blocks, 1, tl, c) in output row order.
+            r = arr.shape[1]
+            if r == 1:
+                return [arr]
+            half = r // 2
+            u = arr[:, :half]
+            v = arr[:, half:]
+            w = tuple(wv.reshape(1, half, tl, 1) for wv in vecs[0])
+            upper = red.add(u, v)
+            lower = red.mul_const(subm(u, v), *w)
+            return net_dif(upper, vecs[1:], tl) + net_dif(lower, vecs[1:], tl)
+
+        def net_dit(arr, vecs, tl):
+            # vecs[-1] = largest-stride stage (applied at this level).
+            r = arr.shape[1]
+            if r == 1:
+                return [arr]
+            half = r // 2
+            u_parts = net_dit(arr[:, :half], vecs[:-1], tl)
+            v_parts = net_dit(arr[:, half:], vecs[:-1], tl)
+            outs_u, outs_v = [], []
+            for i, (ui, vi) in enumerate(zip(u_parts, v_parts)):
+                w = tuple(wv[i * tl : (i + 1) * tl].reshape(1, 1, tl, 1)
+                          for wv in vecs[-1])
+                wv_i = red.mul_const(vi, *w)
+                outs_u.append(red.add(ui, wv_i))
+                outs_v.append(red.sub(ui, wv_i))
+            return outs_u + outs_v
+
+        FUSE = 3  # best measured on v5e (8 leaf parts; deeper fusion spills vregs)
         s = 0
-        while s + 1 < logn:
+        while s < logn:
+            k = min(FUSE, logn - s)
+            radix = 1 << k
             if direction == "dif":
-                t = ts[s]           # stage-s stride, = 2 * t2
-                t2 = ts[s + 1]
-                blocks = n1 // (2 * t)
-                xr = x.reshape(blocks, 2, 2, t2, c)
-                x00, x01 = xr[:, 0, 0], xr[:, 0, 1]
-                x10, x11 = xr[:, 1, 0], xr[:, 1, 1]
-                w1 = stage_tw(s)    # length t, over j = i2*t2 + jj
-                w1a = tuple(w[0:t2].reshape(1, t2, 1) for w in w1)
-                w1b = tuple(w[t2:t].reshape(1, t2, 1) for w in w1)
-                w2 = tuple(w.reshape(1, t2, 1) for w in stage_tw(s + 1))
-                u0 = red.add(x00, x10)
-                u1 = red.add(x01, x11)
-                v0 = red.mul_const(subm(x00, x10), *w1a)
-                v1 = red.mul_const(subm(x01, x11), *w1b)
-                parts = [
-                    red.add(u0, u1),
-                    red.mul_const(subm(u0, u1), *w2),
-                    red.add(v0, v1),
-                    red.mul_const(subm(v0, v1), *w2),
-                ]
+                tl = ts[s + k - 1]          # smallest stride in the group
+                blocks = n1 // (radix * tl)
+                vecs = [stage_tw(s + j) for j in range(k)]
+                parts = net_dif(x.reshape(blocks, radix, tl, c), vecs, tl)
             else:
-                t = ts[s]           # stage-s stride; stage s+1 stride = 2t
-                blocks = n1 // (4 * t)
-                xr = x.reshape(blocks, 2, 2, t, c)
-                x00, x01 = xr[:, 0, 0], xr[:, 0, 1]
-                x10, x11 = xr[:, 1, 0], xr[:, 1, 1]
-                w1 = tuple(w.reshape(1, t, 1) for w in stage_tw(s))
-                w2 = stage_tw(s + 1)  # length 2t, over j = i1*t + jj
-                w2a = tuple(w[0:t].reshape(1, t, 1) for w in w2)
-                w2b = tuple(w[t : 2 * t].reshape(1, t, 1) for w in w2)
-                wv0 = red.mul_const(x01, *w1)
-                wv1 = red.mul_const(x11, *w1)
-                p0 = red.add(x00, wv0)
-                q0 = red.sub(x00, wv0)      # feeds add/sub: stay in-domain
-                p1 = red.add(x10, wv1)
-                q1 = subm(x10, wv1)         # feeds mul_const only: lazy ok
-                wv20 = red.mul_const(p1, *w2a)
-                wv21 = red.mul_const(q1, *w2b)
-                parts = [
-                    red.add(p0, wv20),
-                    red.add(q0, wv21),
-                    red.sub(p0, wv20),
-                    red.sub(q0, wv21),
-                ]
-            x = jnp.stack(parts, axis=1).reshape(n1, c)
-            s += 2
-        if s < logn:  # odd log2(n1): one trailing radix-2 stage
-            t = ts[s]
-            blocks = n1 // (2 * t)
-            xr = x.reshape(blocks, 2, t, c)
-            u = xr[:, 0]
-            v = xr[:, 1]
-            ws = tuple(w.reshape(1, t, 1) for w in stage_tw(s))
-            if direction == "dif":
-                new_u = red.add(u, v)
-                new_v = red.mul_const(subm(u, v), *ws)
-            else:
-                wv = red.mul_const(v, *ws)
-                new_u = red.add(u, wv)
-                new_v = red.sub(u, wv)
-            x = jnp.stack([new_u, new_v], axis=1).reshape(n1, c)
+                tl = ts[s]                  # smallest stride in the group
+                blocks = n1 // (radix * tl)
+                vecs = [stage_tw(s + j) for j in range(k)]
+                parts = net_dit(x.reshape(blocks, radix, tl, c), vecs, tl)
+            x = jnp.concatenate(parts, axis=1).reshape(n1, c)
+            s += k
         if twiddle_pos == "post":
             wm = tuple(r[:].reshape(x.shape) for r in wmat_refs)
             x = red.mul_const(x, *wm)
