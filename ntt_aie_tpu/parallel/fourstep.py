@@ -284,3 +284,120 @@ def pairwise_global_stage(x_local, stage_idx: int, D: int, axis: str,
     out_lower = red.add(u, v)
     out_upper = red.mul_const(red.sub(u, v), *w_tables)
     return jnp.where(am_upper, out_upper, out_lower)
+
+
+# ---------------------------------------------------------------------------
+# Goldilocks (64-bit prime) distributed four-step on (hi, lo) limb pairs
+# ---------------------------------------------------------------------------
+
+def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh) -> DistributedPlan:
+    """Distributed four-step NTT for p = 2^64 - 2^32 + 1: same structure as
+    build_distributed_plan but every value travels as a (hi, lo) uint32 limb
+    pair — two same-shaped arrays through the same shardings and the same
+    single all_to_all (issued per limb). Local passes are the XLA limb
+    stage loops (goldilocks_plan.gl_dif/dit_stages)."""
+    from ntt_aie_tpu.goldilocks_plan import (
+        _dev_limbs, _split_limbs, gl_dif_stages, gl_dit_stages,
+    )
+    from ntt_aie_tpu.ops import modops as M
+
+    field = config.field
+    n = config.n
+    p = field.p
+    ax = config.mesh_axis
+    D = mesh.shape[ax]
+    n1, n2 = config.split
+    if n2 % D or n1 % D:
+        raise ValueError(f"split {config.split} must divide by mesh size {D}")
+
+    br1 = tw.bit_reverse_indices(n1)
+    br2 = tw.bit_reverse_indices(n2)
+    n_inv = field.inv(n)
+    wmat = tw.fourstep_twiddle_matrix(field, n1, n2)[br1, :]
+    iwmat = tw.fourstep_twiddle_matrix(field, n1, n2, inverse=True)[br1, :]
+    iwmat_scaled = iwmat.astype(object) * n_inv % p
+    pos = (br2[np.arange(n) // n1] * n1 + br1[np.arange(n) % n1]).astype(np.int32)
+
+    def _pack(nn, direction, inverse=False):
+        gen = tw.dif_stage_twiddles if direction == "dif" else tw.dit_stage_twiddles
+        return _dev_limbs(tw.pack_stage_twiddles(gen(field, nn, inverse=inverse), nn))
+
+    tw1 = _pack(n1, "dif")
+    tw2 = _pack(n2, "dif")
+    itw1 = _pack(n1, "dit", inverse=True)
+    itw2 = _pack(n2, "dit", inverse=True)
+    wmat_d = _dev_limbs(wmat)
+    iwmat_d = _dev_limbs(iwmat_scaled)
+
+    colshard = P(None, ax)
+
+    def _a2a(h, l, split_axis, concat_axis):
+        h = jax.lax.all_to_all(h, ax, split_axis=split_axis,
+                               concat_axis=concat_axis, tiled=True)
+        l = jax.lax.all_to_all(l, ax, split_axis=split_axis,
+                               concat_axis=concat_axis, tiled=True)
+        return h, l
+
+    def fwd_body(h, l, wh, wl):
+        h, l = gl_dif_stages(h, l, *tw1)
+        h, l = M.gl_mul(h, l, wh, wl)
+        h, l = _a2a(h, l, 0, 1)
+        h, l = h.T, l.T
+        return gl_dif_stages(h, l, *tw2)
+
+    def inv_body(h, l, wh, wl):
+        h, l = gl_dit_stages(h, l, *itw2)
+        h, l = h.T, l.T
+        h, l = _a2a(h, l, 1, 0)
+        h, l = M.gl_mul(h, l, wh, wl)
+        return gl_dit_stages(h, l, *itw1)
+
+    smap = lambda body: jax.shard_map(  # noqa: E731
+        body, mesh=mesh,
+        in_specs=(colshard,) * 4,
+        out_specs=(colshard, colshard),
+    )
+    fwd_m = smap(fwd_body)
+    inv_m = smap(inv_body)
+
+    def fwd_fn(hl):
+        return fwd_m(hl[0], hl[1], *wmat_d)
+
+    def inv_fn(hl):
+        return inv_m(hl[0], hl[1], *iwmat_d)
+
+    def polymul_fn(a, b):
+        fah, fal = fwd_fn(a)
+        fbh, fbl = fwd_fn(b)
+        fc = M.gl_mul(fah, fal, fbh, fbl)
+        return inv_fn(fc)
+
+    in_sharding = NamedSharding(mesh, colshard)
+
+    plan = DistributedPlan(
+        config=config,
+        mesh=mesh,
+        fwd=jax.jit(fwd_fn),
+        inv=jax.jit(inv_fn),
+        polymul=jax.jit(polymul_fn),
+        spectral_to_natural=pos,
+        in_sharding=in_sharding,
+        out_sharding=in_sharding,
+        reduction="goldilocks",
+    )
+
+    def shard_input_gl(a_flat):
+        """uint64 host vector (or (hi, lo) pair) -> sharded limb pair."""
+        if isinstance(a_flat, tuple):
+            hi, lo = (np.asarray(x) for x in a_flat)
+        else:
+            v = np.asarray(a_flat, dtype=np.uint64)
+            hi = (v >> np.uint64(32)).astype(np.uint32)
+            lo = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        return (
+            jax.device_put(hi.reshape(n1, n2), in_sharding),
+            jax.device_put(lo.reshape(n1, n2), in_sharding),
+        )
+
+    plan.shard_input = shard_input_gl
+    return plan

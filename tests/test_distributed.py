@@ -138,3 +138,41 @@ def test_distributed_2d_mesh_dp_batch(rng):
         assert np.array_equal(out[i].reshape(-1), want), f"batch row {i}"
     back = np.asarray(dist.inv(jnp.asarray(out, dtype=jnp.uint32)))
     assert np.array_equal(back.reshape(B, -1), a)
+
+
+def test_goldilocks_distributed_fourstep(rng):
+    """64-bit prime four-step over the virtual mesh: bit-exact vs the
+    single-chip GL plan and roundtrip."""
+    import jax
+    from jax.sharding import Mesh
+
+    from ntt_aie_tpu import fields as F
+    from ntt_aie_tpu.api import NTTContext
+    from ntt_aie_tpu.config import NTTConfig
+    from ntt_aie_tpu.ops import modops as M
+    from ntt_aie_tpu.parallel.fourstep import build_gl_distributed_plan
+
+    GL = F.GOLDILOCKS
+    cfg = NTTConfig(field=GL, log_n=10, rows_log2=5, num_shards=4)
+    mesh = Mesh(np.array(jax.devices()[:4]), (cfg.mesh_axis,))
+    plan = build_gl_distributed_plan(cfg, mesh)
+    v = rng.integers(0, 1 << 63, cfg.n, dtype=np.uint64) % np.uint64(GL.p)
+
+    hl = plan.shard_input(v)
+    fh, fl = plan.fwd(hl)
+    flat = M.gl_to_u64(np.asarray(fh).reshape(-1), np.asarray(fl).reshape(-1))
+
+    single = NTTContext(NTTConfig(field=GL, log_n=10, rows_log2=5))
+    want = np.asarray(single.forward(v))
+    assert np.array_equal(flat, want)
+
+    bh, bl = plan.inv((fh, fl))
+    back = M.gl_to_u64(np.asarray(bh).reshape(-1), np.asarray(bl).reshape(-1))
+    assert np.array_equal(back, v)
+
+    b = rng.integers(0, 1 << 63, cfg.n, dtype=np.uint64) % np.uint64(GL.p)
+    ch, cl = plan.polymul(plan.shard_input(v), plan.shard_input(b))
+    got = M.gl_to_u64(np.asarray(ch).reshape(-1), np.asarray(cl).reshape(-1))
+    from ntt_aie_tpu import reference as ref
+    want_p = ref.schoolbook_cyclic(v.astype(object), b.astype(object), GL.p)
+    assert np.array_equal(got.astype(object), want_p.astype(object))
