@@ -401,3 +401,75 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh) -> DistributedPlan:
 
     plan.shard_input = shard_input_gl
     return plan
+
+
+def build_pairwise_plan(config: NTTConfig, mesh: Mesh, *, engine: str = "xla"):
+    """Full forward NTT in the REFERENCE's scaling topology: the first
+    log2(D) butterfly stages exchange shard halves pairwise per stage
+    (ppermute), then all remaining stages run shard-local — the direct
+    TPU transcription of the reference's cross-tile phase structure
+    (src/aie2.py:183-295: stage-per-exchange over the tile grid, then
+    tile-local stages). Provided as the comparison mode to the production
+    four-step plan: log2(D) collectives instead of one all_to_all.
+
+    Input: flat (n,) contiguously sharded over the mesh axis. Output: the
+    standard DIF bit-reversed order, same sharding — bit-exact with
+    reference.ntt_dif. Returns (fwd, in_sharding).
+    """
+    field = config.field
+    kind = resolve_kind(config.reduction, field)
+    red = make_reduction(kind, field)
+    n = config.n
+    p = field.p
+    ax = config.mesh_axis
+    D = mesh.shape[ax]
+    logd = D.bit_length() - 1
+    m = n // D
+    if m * D != n or m < 2:
+        raise ValueError(f"n={n} must split into >=2 rows per device over D={D}")
+
+    # Cross-shard stage twiddles: stage s, stride t = n >> (s+1). Shard d's
+    # m elements (in the lower role of each pair) use vec[j0 + r] with
+    # j0 = (lower_shard & (2*half - 1)) * m; upper shards share the lower
+    # partner's slice (one twiddle per butterfly). Shipped as (n,) arrays
+    # sharded over the axis so each shard reads exactly its slice.
+    vecs = tw.dif_stage_twiddles(field, n)
+    cross_tables = []
+    for s in range(logd):
+        half = D >> (s + 1)
+        vec = vecs[s]  # length t = half * m
+        slices = []
+        for d in range(D):
+            dl = min(d, d ^ half)
+            k = dl & (2 * half - 1)
+            slices.append(vec[k * m : (k + 1) * m])
+        full = np.concatenate(slices)
+        cross_tables.extend(red.prepare_table(full))
+    nt = red.n_tables
+
+    # Local stages: identical twiddle values to the global stages at the
+    # same stride (omega_m = omega_n^D), so the plain size-m tables apply.
+    tw_local = tuple(
+        jnp.asarray(t) for t in red.prepare_table(
+            tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, m), m)
+        )
+    )
+
+    def body(x, *cross):
+        for s in range(logd):
+            w = tuple(cross[s * nt + k] for k in range(nt))
+            x = pairwise_global_stage(x, s, D, ax, w, red)
+        x = S.dif_stages(x.reshape(m, 1), tw_local, p, red).reshape(m)
+        return red.canonicalize(x)
+
+    fwd_m = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(ax),) * (1 + logd * nt),
+        out_specs=P(ax),
+    )
+    cross_dev = [jnp.asarray(t) for t in cross_tables]
+
+    def fwd(a):
+        return fwd_m(a.astype(jnp.uint32), *cross_dev)
+
+    return jax.jit(fwd), NamedSharding(mesh, P(ax))

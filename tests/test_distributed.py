@@ -176,3 +176,17 @@ def test_goldilocks_distributed_fourstep(rng):
     from ntt_aie_tpu import reference as ref
     want_p = ref.schoolbook_cyclic(v.astype(object), b.astype(object), GL.p)
     assert np.array_equal(got.astype(object), want_p.astype(object))
+
+
+def test_pairwise_full_ntt_matches_oracle(mesh8, rng):
+    """The complete reference-topology mode: log2(D) pairwise exchange
+    stages + local stages == the scalar DIF oracle, bit-exact."""
+    from ntt_aie_tpu.parallel.fourstep import build_pairwise_plan
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=10, num_shards=8)
+    fwd, in_sh = build_pairwise_plan(cfg, mesh8)
+    a = rng.integers(0, field.p, cfg.n)
+    got = np.asarray(fwd(jax.device_put(a.astype(np.uint32), in_sh)))
+    want = ref.ntt_dif(a, field)
+    assert np.array_equal(got.astype(np.int64), want)
