@@ -210,4 +210,50 @@ void ntt_dif_u64_batch(uint64_t* a, int64_t batch, int64_t n, uint64_t omega,
     for (int64_t i = 0; i < batch; i++) ntt_dif_u64(a + i * n, n, omega, p);
 }
 
+// ---------------------------------------------------------------------------
+// Polynomial multiplication oracles (cyclic X^n - 1, negacyclic X^n + 1)
+// ---------------------------------------------------------------------------
+
+// c = a * b mod (X^n - 1, p) via DIF -> pointwise (bitrev order is
+// pointwise-safe) -> inverse DIT with 1/n. omega: primitive n-th root.
+void ntt_cyclic_polymul_u64(const uint64_t* a, const uint64_t* b, uint64_t* c,
+                            int64_t n, uint64_t omega, uint64_t p) {
+    uint64_t* fb = new uint64_t[n];
+    for (int64_t i = 0; i < n; i++) {
+        c[i] = a[i];
+        fb[i] = b[i];
+    }
+    ntt_dif_u64(c, n, omega, p);
+    ntt_dif_u64(fb, n, omega, p);
+    for (int64_t i = 0; i < n; i++) c[i] = mulmod_u64(c[i], fb[i], p);
+    uint64_t oinv = ntt_modpow(omega, p - 2, p);
+    ntt_dit_u64(c, n, oinv, p, /*scale_by_ninv=*/1);
+    delete[] fb;
+}
+
+// c = a * b mod (X^n + 1, p): psi-scale, cyclic polymul, inverse psi-scale.
+// psi: primitive 2n-th root with psi^2 = omega.
+void ntt_negacyclic_polymul_u64(const uint64_t* a, const uint64_t* b,
+                                uint64_t* c, int64_t n, uint64_t psi,
+                                uint64_t p) {
+    uint64_t omega = mulmod_u64(psi, psi, p);
+    uint64_t* ta = new uint64_t[n];
+    uint64_t* tb = new uint64_t[n];
+    uint64_t w = 1;
+    for (int64_t i = 0; i < n; i++) {
+        ta[i] = mulmod_u64(a[i], w, p);
+        tb[i] = mulmod_u64(b[i], w, p);
+        w = mulmod_u64(w, psi, p);
+    }
+    ntt_cyclic_polymul_u64(ta, tb, c, n, omega, p);
+    uint64_t psi_inv = ntt_modpow(psi, p - 2, p);
+    w = 1;
+    for (int64_t i = 0; i < n; i++) {
+        c[i] = mulmod_u64(c[i], w, p);
+        w = mulmod_u64(w, psi_inv, p);
+    }
+    delete[] ta;
+    delete[] tb;
+}
+
 }  // extern "C"

@@ -115,6 +115,25 @@ def cmd_verify(args) -> int:
                    np.array_equal(got.astype(object), wantp.astype(object)),
                    failures)
 
+        if args.native:
+            # Independent native gate: dump (input, claimed) vectors and let
+            # the separately-compiled C++ oracle re-derive and compare
+            # (native/verify_main.cc; the reference's src/test.cpp:203-247
+            # role with the oracle outside the Python process entirely).
+            import tempfile
+
+            from ntt_aie_tpu import native_oracle as native
+            from ntt_aie_tpu import twiddles as tw_mod
+
+            claimed_bitrev = fwd[tw_mod.bit_reverse_indices(cfg.n)]
+            with tempfile.NamedTemporaryFile(suffix=".nttv") as tf:
+                native.write_vectors(
+                    tf.name, "forward", field.p, cfg.n,
+                    field.root_of_unity(cfg.n),
+                    a.astype(np.uint64), claimed_bitrev.astype(np.uint64))
+                _check("native C++ gate (nttverify, forward)",
+                       native.run_verify_gate(tf.name), failures)
+
     if failures:
         print("FAIL.")
         return 1
@@ -204,6 +223,8 @@ def main(argv=None) -> int:
     pv.add_argument("--seed", type=int, default=0)
     pv.add_argument("--parity", action="store_true",
                     help="reference bit-exact parity mode")
+    pv.add_argument("--native", action="store_true",
+                    help="also run the standalone C++ nttverify gate")
     pv.set_defaults(fn=cmd_verify)
 
     pb = sub.add_parser("bench")

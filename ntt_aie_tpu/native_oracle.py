@@ -72,6 +72,10 @@ def load(build: bool = True) -> ctypes.CDLL:
     lib.ntt_dit_u64.argtypes = [pu64, i64, u64, u64, ctypes.c_int]
     lib.ntt_dif_u64_batch.restype = None
     lib.ntt_dif_u64_batch.argtypes = [pu64, i64, i64, u64, u64]
+    lib.ntt_cyclic_polymul_u64.restype = None
+    lib.ntt_cyclic_polymul_u64.argtypes = [pu64, pu64, pu64, i64, u64, u64]
+    lib.ntt_negacyclic_polymul_u64.restype = None
+    lib.ntt_negacyclic_polymul_u64.argtypes = [pu64, pu64, pu64, i64, u64, u64]
 
     _lib = lib
     return lib
@@ -115,6 +119,61 @@ def ntt_dit(a, omega: int, p: int, scale: bool = False) -> np.ndarray:
     a = np.ascontiguousarray(a, dtype=np.uint64).copy()
     lib.ntt_dit_u64(a, len(a), omega, p, 1 if scale else 0)
     return a
+
+
+def cyclic_polymul(a, b, omega: int, p: int) -> np.ndarray:
+    lib = load()
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    c = np.empty_like(a)
+    lib.ntt_cyclic_polymul_u64(a, b, c, len(a), omega, p)
+    return c
+
+
+def negacyclic_polymul(a, b, psi: int, p: int) -> np.ndarray:
+    lib = load()
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    c = np.empty_like(a)
+    lib.ntt_negacyclic_polymul_u64(a, b, c, len(a), psi, p)
+    return c
+
+
+# ---- standalone verification gate (native/verify_main.cc) ----
+
+_BIN_PATH = _NATIVE_DIR / "nttverify"
+
+_KINDS = {"forward": 0, "cyclic_polymul": 1, "negacyclic_polymul": 2}
+
+
+def write_vectors(path, kind: str, p: int, n: int, root: int, a, claimed,
+                  b=None) -> None:
+    """Write a .nttv vector file for the nttverify binary (format documented
+    in native/verify_main.cc)."""
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(b"NTTV")
+        f.write(struct.pack("<IIQQQ", 1, _KINDS[kind], p, n, root))
+        f.write(np.ascontiguousarray(a, dtype=np.uint64).tobytes())
+        if b is not None:
+            f.write(np.ascontiguousarray(b, dtype=np.uint64).tobytes())
+        f.write(np.ascontiguousarray(claimed, dtype=np.uint64).tobytes())
+
+
+def run_verify_gate(path) -> bool:
+    """Run the independently-compiled native gate on a vector file.
+    Returns True on PASS; builds the binary on demand."""
+    if not _BIN_PATH.exists():
+        _build()
+    res = subprocess.run([str(_BIN_PATH), str(path)], capture_output=True,
+                         text=True)
+    if res.returncode != 0:  # surface the binary's mismatch report
+        if res.stdout:
+            print(res.stdout.strip())
+        if res.stderr:
+            print(res.stderr.strip())
+    return res.returncode == 0
 
 
 def barrett_mulmod(a: int, b: int, p: int, w: int, u: int) -> int:

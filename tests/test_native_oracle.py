@@ -113,3 +113,47 @@ def test_goldilocks_ntt_native(rng):
     # cross-check vs numpy object-dtype oracle
     want = ref.ntt_dif(a.astype(object), f)
     assert np.array_equal(fwd.astype(object), want)
+
+
+def test_native_polymul_oracles(rng):
+    """C++ cyclic/negacyclic polymul vs the NumPy oracle."""
+    from ntt_aie_tpu import fields as F
+    from ntt_aie_tpu import reference as ref
+    from ntt_aie_tpu import native_oracle as native
+
+    field = F.P_2013265921
+    n = 64
+    a = rng.integers(0, field.p, n).astype(np.uint64)
+    b = rng.integers(0, field.p, n).astype(np.uint64)
+    got = native.cyclic_polymul(a, b, field.root_of_unity(n), field.p)
+    want = ref.cyclic_polymul(a.astype(np.int64), b.astype(np.int64), field)
+    assert np.array_equal(got.astype(np.int64), want)
+    gotn = native.negacyclic_polymul(a, b, field.root_of_unity(2 * n), field.p)
+    wantn = ref.negacyclic_polymul(a.astype(np.int64), b.astype(np.int64), field)
+    assert np.array_equal(gotn.astype(np.int64), wantn)
+
+    # Goldilocks path through the same entry points
+    GL = F.GOLDILOCKS
+    v = rng.integers(0, 1 << 62, 32, dtype=np.uint64) % np.uint64(GL.p)
+    w = rng.integers(0, 1 << 62, 32, dtype=np.uint64) % np.uint64(GL.p)
+    got_gl = native.cyclic_polymul(v, w, GL.root_of_unity(32), GL.p)
+    want_gl = ref.schoolbook_cyclic(v.astype(object), w.astype(object), GL.p)
+    assert np.array_equal(got_gl.astype(object), want_gl.astype(object))
+
+
+def test_nttverify_gate_roundtrip(tmp_path, rng):
+    """The standalone binary PASSes on honest vectors, FAILs on corrupted."""
+    from ntt_aie_tpu import fields as F
+    from ntt_aie_tpu import native_oracle as native
+
+    field = F.P_469762049
+    n = 256
+    a = rng.integers(0, field.p, n).astype(np.uint64)
+    omega = field.root_of_unity(n)
+    claimed = native.ntt_dif(a, omega, field.p)
+    path = tmp_path / "v.nttv"
+    native.write_vectors(path, "forward", field.p, n, omega, a, claimed)
+    assert native.run_verify_gate(path)
+    claimed[3] ^= 1
+    native.write_vectors(path, "forward", field.p, n, omega, a, claimed)
+    assert not native.run_verify_gate(path)
