@@ -111,6 +111,7 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
     n = config.n
     p = field.p
     n1, n2 = config.split
+    make_batched_cores = None  # set by the pallas four-step branch
 
     br1 = tw.bit_reverse_indices(n1)
     if n2 > 1:
@@ -149,6 +150,38 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
                 h, l = icp2(h.reshape(n2, n1), l.reshape(n2, n1))
                 h, l = icp1(h, l)
                 return h.reshape(n), l.reshape(n)
+
+            def make_batched_cores(B):
+                """Dedicated batch-grid kernels (shared tables fetched once
+                per lane-slab, like the 32-bit plan's batched path)."""
+                cp1b = make_gl_colpass(field, n1, n2, direction="dif",
+                                       transpose_out=True, batch=B,
+                                       interpret=interpret)
+                cp2b = make_gl_colpass(field, n2, n1, direction="dif",
+                                       wmat=np.ascontiguousarray(wmat.T),
+                                       twiddle_pos="pre", batch=B,
+                                       interpret=interpret)
+                icp2b = make_gl_colpass(field, n2, n1, direction="dit",
+                                        inverse_tw=True, transpose_out=True,
+                                        batch=B, interpret=interpret)
+                icp1b = make_gl_colpass(field, n1, n2, direction="dit",
+                                        inverse_tw=True, wmat=iwmat_scaled,
+                                        twiddle_pos="pre", batch=B,
+                                        interpret=interpret)
+
+                def fwd_b(h, l):
+                    sh = (n1, n2) if B == 1 else (B, n1, n2)
+                    h, l = cp1b(h.reshape(sh), l.reshape(sh))
+                    h, l = cp2b(h, l)
+                    return h.reshape(B, n), l.reshape(B, n)
+
+                def inv_b(h, l):
+                    sh = (n2, n1) if B == 1 else (B, n2, n1)
+                    h, l = icp2b(h.reshape(sh), l.reshape(sh))
+                    h, l = icp1b(h, l)
+                    return h.reshape(B, n), l.reshape(B, n)
+
+                return fwd_b, inv_b
 
         else:
             tw1 = _pack_dev(field, n1, direction="dif")
@@ -258,9 +291,20 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
         return call
 
     def batched_builder(B):
-        bfwd = jax.jit(jax.vmap(fwd_core))
-        binv = jax.jit(jax.vmap(inv_core))
-        bmul = jax.jit(jax.vmap(polymul_core))
+        if make_batched_cores is not None:
+            bfwd_core, binv_core = make_batched_cores(B)
+
+            def bmul_core(ah, al, bh, bl):
+                fah, fal = bfwd_core(ah, al)
+                fbh, fbl = bfwd_core(bh, bl)
+                ch, cl = M.gl_mul(fah, fal, fbh, fbl)
+                return binv_core(ch, cl)
+
+            bfwd, binv, bmul = bfwd_core, binv_core, bmul_core
+        else:
+            bfwd = jax.jit(jax.vmap(fwd_core))
+            binv = jax.jit(jax.vmap(inv_core))
+            bmul = jax.jit(jax.vmap(polymul_core))
         return {
             "fwd": _wrap1(lambda hl: bfwd(*hl)),
             "inv": _wrap1(lambda hl: binv(*hl)),

@@ -136,7 +136,10 @@ def build_colpass(
                 outs_v.append(red.sub(ui, wv_i))
             return outs_u + outs_v
 
-        FUSE = 3  # best measured on v5e (8 leaf parts; deeper fusion spills vregs)
+        # Group size 3 measured best on v5e (8 leaf parts per concat; 4+
+        # spills vregs — even a single 4-group in a 4+3+3 schedule regressed
+        # 6% vs 3+3+3+1).
+        FUSE = 3
         s = 0
         while s < logn:
             k = min(FUSE, logn - s)

@@ -128,3 +128,17 @@ def test_pallas_gl_engine_matches_xla(rng):
     b = _rand(rng, cfg.n)
     assert np.array_equal(np.asarray(plan_x.polymul(a, b)),
                           np.asarray(plan_p.polymul(a, b)))
+
+
+def test_pallas_gl_batched_matches_single(rng):
+    from ntt_aie_tpu.goldilocks_plan import build_goldilocks_plan
+
+    cfg = NTTConfig(field=GL, log_n=9, rows_log2=4)
+    plan = build_goldilocks_plan(cfg, engine="pallas", interpret=True)
+    B = 2
+    a = np.stack([_rand(rng, cfg.n) for _ in range(B)])
+    got = np.asarray(plan.make_batched(B)["fwd"](a))
+    for i in range(B):
+        assert np.array_equal(got[i], np.asarray(plan.fwd(a[i])))
+    got1 = np.asarray(plan.make_batched(1)["fwd"](a[:1]))
+    assert np.array_equal(got1[0], np.asarray(plan.fwd(a[0])))
