@@ -152,12 +152,29 @@ def cmd_bench(args) -> int:
     cfg = NTTConfig(field=field, log_n=args.log_n)
     plan = build_plan(cfg, engine=args.engine)
     rng = np.random.default_rng(0)
-    fwd = plan.make_batched(args.batch)["fwd"]
-    a = jnp.asarray(rng.integers(0, min(field.p, 1 << 32), (args.batch, cfg.n)),
-                    dtype=jnp.uint32)
-    res = time_device(fwd, a, iters=args.iters, repeats=args.repeats)
-    rep = roofline.efficiency_report(res["us_per_iter"] / args.batch * 1e-6, cfg.n)
-    rep.update(engine=plan.engine, reduction=plan.reduction, batch=args.batch)
+    batched = plan.make_batched(args.batch)
+    big = field.p >= (1 << 32)
+    vals = rng.integers(0, min(field.p, 1 << 32), (args.batch, cfg.n))
+    if big:
+        from ntt_aie_tpu.ops import modops as M
+
+        a = M.gl_from_u64(vals.astype(np.uint64))
+    else:
+        a = jnp.asarray(vals, dtype=jnp.uint32)
+
+    if args.op == "polymul":
+        pm = batched["polymul"]
+        fn = lambda x: pm(x, x)  # noqa: E731  out shape == in shape
+        transforms_per_call = 3 * args.batch  # 2 fwd + 1 inv per polymul
+    else:
+        fn = batched[args.op]
+        transforms_per_call = args.batch
+    res = time_device(fn, a, iters=args.iters, repeats=args.repeats)
+    rep = roofline.efficiency_report(
+        res["us_per_iter"] / transforms_per_call * 1e-6, cfg.n,
+        itemsize=8 if big else 4)
+    rep.update(engine=plan.engine, reduction=plan.reduction,
+               batch=args.batch, op=args.op)
     del rep["hbm_bytes"]
     print(json.dumps(rep))
     return 0
@@ -234,6 +251,7 @@ def main(argv=None) -> int:
     pb.add_argument("--iters", type=int, default=20)
     pb.add_argument("--repeats", type=int, default=5)
     pb.add_argument("--engine", default="auto")
+    pb.add_argument("--op", default="fwd", choices=["fwd", "inv", "polymul"])
     pb.set_defaults(fn=cmd_bench)
 
     ps = sub.add_parser("sweep")

@@ -318,7 +318,7 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
         polymul=_wrap2(jmul),
         negacyclic_polymul=_wrap2(jnega) if jnega else None,
         spectral_to_natural=spectral_to_natural,
-        engine="xla",
+        engine=engine if n2 > 1 else "xla",  # flat path has no pallas kernels
         reduction="goldilocks",
         _batched_builder=batched_builder,
     )
