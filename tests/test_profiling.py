@@ -143,3 +143,25 @@ def test_scaling_harness_virtual_mesh():
     assert [r["devices"] for r in rows] == [1, 2, 4]
     assert rows[0]["efficiency"] == 1.0
     assert all(r["ntts_per_sec"] > 0 for r in rows)
+
+
+def test_stream_transform_pipeline(rng):
+    """Streaming pipeline yields the same results as direct calls, in order
+    (the reference's depth-2 ObjectFIFO overlap at the host boundary)."""
+    import jax.numpy as jnp
+
+    from ntt_aie_tpu.api import NTTContext
+    from ntt_aie_tpu.config import NTTConfig
+    from ntt_aie_tpu.utils.streaming import stream_transform
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=9)
+    ctx = NTTContext(cfg)
+    B = 2
+    fwd = ctx.plan.make_batched(B)["fwd"]
+    batches = [rng.integers(0, field.p, (B, cfg.n)).astype(np.uint32)
+               for _ in range(5)]
+    got = list(stream_transform(fwd, batches, prefetch=2))
+    assert len(got) == 5
+    for x, y in zip(batches, got):
+        assert np.array_equal(y, np.asarray(fwd(jnp.asarray(x))))
