@@ -1,0 +1,83 @@
+"""RNS (residue number system) polynomial multiplication.
+
+Exact convolution of polynomials with coefficients far beyond any single
+word prime: pick pairwise-coprime NTT primes p_1..p_k, run the device
+polymul independently in each residue field (a batched fan-out — one more
+batch axis to the same kernels), and CRT-reconstruct mod M = prod(p_i).
+The result is the exact integer convolution whenever every output
+coefficient is < M (for inputs bounded by B: n * B^2 < M).
+
+The reference has nothing like this (single prime, p = 3329); it is the
+standard production deployment of NTT polymul (big-integer multiplication,
+RNS-form homomorphic encryption), so the framework ships it as a
+first-class API.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from ntt_aie_tpu import fields as F
+from ntt_aie_tpu.config import NTTConfig
+
+DEFAULT_FIELDS = (F.P_2013265921, F.P_998244353, F.P_469762049)
+
+
+class RNSPolymul:
+    """Exact polynomial multiplication over Z via multi-prime NTTs + CRT.
+
+    Usage:
+        rns = RNSPolymul(log_n=12)            # M ~ 2^91: inputs up to ~2^39
+        c = rns.polymul(a, b)                 # object-int coefficients
+    """
+
+    def __init__(self, log_n: int, prime_fields: Sequence = DEFAULT_FIELDS,
+                 *, negacyclic: bool = False, engine: str = "auto"):
+        from ntt_aie_tpu.plan import build_plan
+
+        self.log_n = log_n
+        self.n = 1 << log_n
+        self.fields = tuple(prime_fields)
+        self.negacyclic = negacyclic
+        self.plans = [
+            build_plan(
+                NTTConfig(field=f, log_n=log_n, negacyclic=negacyclic),
+                engine=engine,
+            )
+            for f in self.fields
+        ]
+        self.modulus = 1
+        for f in self.fields:
+            self.modulus *= f.p
+        # CRT basis: e_i = M_i * (M_i^-1 mod p_i), M_i = M / p_i
+        self._basis = []
+        for f in self.fields:
+            mi = self.modulus // f.p
+            self._basis.append(mi * F.modpow(mi % f.p, f.p - 2, f.p))
+
+    def max_input_bound(self) -> int:
+        """Largest allowed |coefficient| for exact results: n * B^2 < M."""
+        import math
+
+        return math.isqrt(self.modulus // self.n) - 1
+
+    def _residues(self, a) -> list[np.ndarray]:
+        a = np.asarray(a, dtype=object)
+        return [(a % f.p).astype(np.uint32) for f in self.fields]
+
+    def polymul(self, a, b) -> np.ndarray:
+        """Exact cyclic (or negacyclic) product of integer-coefficient
+        polynomials; inputs may be any ints in [0, max_input_bound()]."""
+        import jax.numpy as jnp
+
+        res = []
+        for plan, ra, rb in zip(self.plans, self._residues(a), self._residues(b)):
+            fn = plan.negacyclic_polymul if self.negacyclic else plan.polymul
+            res.append(np.asarray(fn(jnp.asarray(ra), jnp.asarray(rb))))
+        # CRT: c = sum_i r_i * e_i mod M (object math, exact)
+        acc = np.zeros(self.n, dtype=object)
+        for r, e in zip(res, self._basis):
+            acc += r.astype(object) * e
+        return acc % self.modulus

@@ -1,0 +1,61 @@
+"""RNS multi-prime polymul + CRT: exact integer convolution."""
+
+import numpy as np
+
+from ntt_aie_tpu.rns import RNSPolymul
+
+
+def _schoolbook_cyclic_int(a, b, n):
+    c = [0] * n
+    for i in range(n):
+        for j in range(n):
+            c[(i + j) % n] += int(a[i]) * int(b[j])
+    return np.array(c, dtype=object)
+
+
+def _schoolbook_negacyclic_int(a, b, n):
+    c = [0] * n
+    for i in range(n):
+        for j in range(n):
+            k = i + j
+            if k < n:
+                c[k] += int(a[i]) * int(b[j])
+            else:
+                c[k - n] -= int(a[i]) * int(b[j])
+    return np.array(c, dtype=object)
+
+
+def test_rns_exact_big_coefficients(rng):
+    log_n = 5
+    n = 1 << log_n
+    rns = RNSPolymul(log_n)
+    bound = rns.max_input_bound()
+    assert bound > (1 << 38)  # three ~30-bit primes minus n
+    a = np.array([int(x) for x in rng.integers(0, 1 << 38, n)], dtype=object)
+    b = np.array([int(x) for x in rng.integers(0, 1 << 38, n)], dtype=object)
+    got = rns.polymul(a, b)
+    want = _schoolbook_cyclic_int(a, b, n)
+    assert np.array_equal(got, want)  # exact integers, no modulus
+
+
+def test_rns_negacyclic(rng):
+    log_n = 4
+    n = 1 << log_n
+    rns = RNSPolymul(log_n, negacyclic=True)
+    a = np.array([int(x) for x in rng.integers(0, 1 << 20, n)], dtype=object)
+    b = np.array([int(x) for x in rng.integers(0, 1 << 20, n)], dtype=object)
+    got = rns.polymul(a, b)
+    want = _schoolbook_negacyclic_int(a, b, n) % rns.modulus
+    assert np.array_equal(got, want)
+
+
+def test_rns_modulus_and_basis():
+    rns = RNSPolymul(4)
+    m = 1
+    for f in rns.fields:
+        m *= f.p
+    assert rns.modulus == m
+    # CRT basis property: e_i = 1 mod p_i, 0 mod p_j (j != i)
+    for i, f in enumerate(rns.fields):
+        for j, g in enumerate(rns.fields):
+            assert rns._basis[i] % g.p == (1 if i == j else 0)
