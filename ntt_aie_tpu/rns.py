@@ -35,11 +35,21 @@ class RNSPolymul:
 
     def __init__(self, log_n: int, prime_fields: Sequence = DEFAULT_FIELDS,
                  *, negacyclic: bool = False, engine: str = "auto"):
+        import math
+
         from ntt_aie_tpu.plan import build_plan
 
         self.log_n = log_n
         self.n = 1 << log_n
         self.fields = tuple(prime_fields)
+        for i, f in enumerate(self.fields):
+            for g in self.fields[i + 1 :]:
+                if math.gcd(f.p, g.p) != 1:
+                    raise ValueError(
+                        f"RNS primes must be pairwise coprime; got {f.p} "
+                        f"and {g.p} (duplicate/shared factor would make the "
+                        "CRT basis degenerate)"
+                    )
         self.negacyclic = negacyclic
         self.plans = [
             build_plan(
@@ -55,29 +65,48 @@ class RNSPolymul:
         self._basis = []
         for f in self.fields:
             mi = self.modulus // f.p
-            self._basis.append(mi * F.modpow(mi % f.p, f.p - 2, f.p))
+            self._basis.append(mi * f.inv(mi % f.p))
 
     def max_input_bound(self) -> int:
-        """Largest allowed |coefficient| for exact results: n * B^2 < M."""
+        """Largest allowed |coefficient| for exact signed results: outputs
+        span (-n*B^2, n*B^2], which the centered lift recovers exactly when
+        2 * n * B^2 < M."""
         import math
 
-        return math.isqrt(self.modulus // self.n) - 1
+        return math.isqrt((self.modulus - 1) // (2 * self.n)) - 1
 
     def _residues(self, a) -> list[np.ndarray]:
         a = np.asarray(a, dtype=object)
+        bound = self.max_input_bound()
+        if a.shape != (self.n,):
+            raise ValueError(f"expected shape ({self.n},), got {a.shape}")
+        lo, hi = int(min(a)), int(max(a))
+        if lo < -bound or hi > bound:
+            raise ValueError(
+                f"coefficients must satisfy |c| <= {bound} for exact "
+                f"results (got range [{lo}, {hi}]); use more/larger primes"
+            )
         return [(a % f.p).astype(np.uint32) for f in self.fields]
 
     def polymul(self, a, b) -> np.ndarray:
-        """Exact cyclic (or negacyclic) product of integer-coefficient
-        polynomials; inputs may be any ints in [0, max_input_bound()]."""
+        """Exact cyclic (or negacyclic) product of signed-integer-coefficient
+        polynomials; inputs must be ints with |c| <= max_input_bound().
+        Output coefficients are exact signed integers (centered lift)."""
         import jax.numpy as jnp
 
-        res = []
+        # Dispatch every prime's polymul before fetching any result:
+        # JAX dispatch is async, so the k independent transforms overlap.
+        pending = []
         for plan, ra, rb in zip(self.plans, self._residues(a), self._residues(b)):
             fn = plan.negacyclic_polymul if self.negacyclic else plan.polymul
-            res.append(np.asarray(fn(jnp.asarray(ra), jnp.asarray(rb))))
+            pending.append(fn(jnp.asarray(ra), jnp.asarray(rb)))
+        res = [np.asarray(r) for r in pending]
         # CRT: c = sum_i r_i * e_i mod M (object math, exact)
         acc = np.zeros(self.n, dtype=object)
         for r, e in zip(res, self._basis):
             acc += r.astype(object) * e
-        return acc % self.modulus
+        acc %= self.modulus
+        # centered lift (-M/2, M/2]: negacyclic products (and any signed
+        # inputs) have genuinely negative coefficients
+        half = self.modulus >> 1
+        return np.where(acc > half, acc - self.modulus, acc)

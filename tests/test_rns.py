@@ -38,15 +38,45 @@ def test_rns_exact_big_coefficients(rng):
     assert np.array_equal(got, want)  # exact integers, no modulus
 
 
-def test_rns_negacyclic(rng):
+def test_rns_negacyclic_signed_exact(rng):
+    """Negacyclic products have genuinely negative coefficients; the
+    centered lift must return exact signed integers (code-review finding:
+    X^3 * X^3 = -X^2 mod X^4+1 must give -1, not M-1)."""
     log_n = 4
     n = 1 << log_n
     rns = RNSPolymul(log_n, negacyclic=True)
     a = np.array([int(x) for x in rng.integers(0, 1 << 20, n)], dtype=object)
     b = np.array([int(x) for x in rng.integers(0, 1 << 20, n)], dtype=object)
     got = rns.polymul(a, b)
-    want = _schoolbook_negacyclic_int(a, b, n) % rns.modulus
-    assert np.array_equal(got, want)
+    want = _schoolbook_negacyclic_int(a, b, n)
+    assert np.array_equal(got, want)  # exact signed, no modulus
+
+    r2 = RNSPolymul(2, negacyclic=True)
+    e3 = np.array([0, 0, 0, 1], dtype=object)
+    got = r2.polymul(e3, e3)
+    assert list(got) == [0, 0, -1, 0]
+
+
+def test_rns_signed_inputs_exact(rng):
+    n = 16
+    rns = RNSPolymul(4)
+    a = np.array([int(x) for x in rng.integers(-(1 << 30), 1 << 30, n)], dtype=object)
+    b = np.array([int(x) for x in rng.integers(-(1 << 30), 1 << 30, n)], dtype=object)
+    assert np.array_equal(rns.polymul(a, b), _schoolbook_cyclic_int(a, b, n))
+
+
+def test_rns_input_validation():
+    import pytest
+
+    rns = RNSPolymul(4)
+    too_big = np.array([rns.max_input_bound() + 1] + [0] * 15, dtype=object)
+    ok = np.zeros(16, dtype=object)
+    with pytest.raises(ValueError, match="coefficients"):
+        rns.polymul(too_big, ok)
+    with pytest.raises(ValueError, match="coprime"):
+        from ntt_aie_tpu import fields as F
+
+        RNSPolymul(4, (F.P_998244353, F.P_998244353))
 
 
 def test_rns_modulus_and_basis():
