@@ -36,6 +36,9 @@ class NTTContext:
     # ---- host oracle paths (always available) ----
 
     def forward_host(self, a) -> np.ndarray:
+        """Host-oracle forward transform in the SAME output order as the
+        device plan (spectral four-step order for ordering='bitrev' with an
+        (n1, n2) split; plain bit reversal on the flat path)."""
         cfg = self.config
         if cfg.table_convention == "reference":
             table = tw.power_table(cfg.field, cfg.n)
@@ -43,17 +46,23 @@ class NTTContext:
             if cfg.ordering == "reference":
                 out = ref.block_permute(out)
             return out
-        out = ref.ntt_dif(a, cfg.field)
+        natural = ref.ntt_forward(np.asarray(a), cfg.field)
         if cfg.ordering == "natural":
-            out = out[tw.bit_reverse_indices(cfg.n)]
+            return natural
+        # device spectral order: flat[pos[k]] = natural[k]
+        pos = tw.spectral_positions(*cfg.split)
+        out = np.empty_like(natural)
+        out[pos] = natural
         return out
 
     def inverse_host(self, a) -> np.ndarray:
         cfg = self.config
         a = np.asarray(a)
-        if cfg.ordering == "natural":
-            a = a[tw.bit_reverse_indices(cfg.n)]
-        return ref.ntt_dit(a, cfg.field, inverse=True)
+        if cfg.ordering != "natural":
+            a = a[tw.spectral_positions(*cfg.split)]  # -> natural order
+        # natural-order spectrum -> coefficients: bit-reverse into the DIT
+        return ref.ntt_dit(a[tw.bit_reverse_indices(cfg.n)], cfg.field,
+                           inverse=True)
 
     # ---- device paths ----
 

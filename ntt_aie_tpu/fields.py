@@ -89,8 +89,33 @@ class PrimeField:
     def __post_init__(self):
         if self.p < 3:
             raise ValueError("p must be an odd prime")
-        if modpow(self.g, self.p - 1, self.p) != 1:
+        if self.g % self.p == 0:
             raise ValueError(f"g={self.g} is not a unit mod {self.p}")
+        # Primitivity: g^((p-1)/q) != 1 for every prime factor q of p-1.
+        # (Fermat's g^(p-1) == 1 holds for EVERY unit, so checking only it
+        # would accept non-primitive generators and silently break every
+        # root_of_unity-derived table.) Trial division is capped so exotic
+        # user primes still construct fast; a possibly-composite leftover
+        # cofactor t is used as-is — that only makes the check more
+        # permissive, never falsely rejects a true primitive root
+        # (ord(g) = p-1 > (p-1)/t).
+        t = self.p - 1
+        factors = []
+        d = 2
+        while d * d <= t and d < (1 << 20):
+            if t % d == 0:
+                factors.append(d)
+                while t % d == 0:
+                    t //= d
+            d += 1 if d == 2 else 2
+        if t > 1:
+            factors.append(t)
+        for q in factors:
+            if modpow(self.g, (self.p - 1) // q, self.p) == 1:
+                raise ValueError(
+                    f"g={self.g} is not a primitive root mod {self.p}: "
+                    f"g^((p-1)/{q}) == 1"
+                )
 
     # ---- generic ----
 

@@ -113,14 +113,9 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
     n1, n2 = config.split
     make_batched_cores = None  # set by the pallas four-step branch
 
-    br1 = tw.bit_reverse_indices(n1)
     if n2 > 1:
-        br2 = tw.bit_reverse_indices(n2)
-        n_inv = field.inv(n)
-        wmat = tw.fourstep_twiddle_matrix(field, n1, n2)[br1, :]
-        iwmat = tw.fourstep_twiddle_matrix(field, n1, n2, inverse=True)[br1, :]
-        iwmat_scaled = iwmat.astype(object) * n_inv % p
-        pos = (br2[np.arange(n) // n1] * n1 + br1[np.arange(n) % n1]).astype(np.int32)
+        tabs = tw.fourstep_tables(field, n1, n2)
+        wmat, iwmat_scaled, pos = tabs["wmat"], tabs["iwmat_scaled"], tabs["pos"]
 
         if engine == "pallas":
             from ntt_aie_tpu.ops.pallas_gl import make_gl_colpass
@@ -235,6 +230,7 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
         return _inv(ch, cl)
 
     spectral_to_natural = pos
+    raw_cores = (fwd_core, inv_core)  # spectral-order, for the batched path
 
     if config.ordering == "natural":
         perm = jnp.asarray(pos)
@@ -302,9 +298,24 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
 
             bfwd, binv, bmul = bfwd_core, binv_core, bmul_core
         else:
-            bfwd = jax.jit(jax.vmap(fwd_core))
-            binv = jax.jit(jax.vmap(inv_core))
+            # raw (spectral-order) cores: the vmap must NOT pick up the
+            # natural-ordering rebinding of fwd_core/inv_core below
+            bfwd = jax.jit(jax.vmap(raw_cores[0]))
+            binv = jax.jit(jax.vmap(raw_cores[1]))
             bmul = jax.jit(jax.vmap(polymul_core))
+        if config.ordering == "natural":
+            # honor the ordering wrapper exactly like the unbatched
+            # callables (perm/inv_perm bound below, before any call)
+            raw_bfwd, raw_binv = bfwd, binv
+
+            def bfwd(h, l):  # noqa: F811
+                h, l = raw_bfwd(h, l)
+                return jnp.take(h, perm, axis=1), jnp.take(l, perm, axis=1)
+
+            def binv(h, l):  # noqa: F811
+                return raw_binv(jnp.take(h, inv_perm, axis=1),
+                                jnp.take(l, inv_perm, axis=1))
+
         return {
             "fwd": _wrap1(lambda hl: bfwd(*hl)),
             "inv": _wrap1(lambda hl: binv(*hl)),

@@ -224,78 +224,6 @@ def build_colpass(
     )
 
 
-def make_transpose(n1: int, n2: int, *, tile: int = 256, batch: int = 1,
-                   interpret: bool = False):
-    """Tiled (n1, n2) -> (n2, n1) uint32 transpose as a Pallas kernel.
-
-    XLA's materialized uint32 transpose measured ~300-500us for 4 MB on
-    v5e; this tiled kernel (read (T,T) block, transpose in VMEM, write to
-    the mirrored block) measures ~1us when the operands are VMEM-resident.
-    """
-    tile = min(tile, n1, n2)
-    # Mosaic requires block dims divisible by (8, 128) or equal to the full
-    # array dims; fall back to a single whole-matrix block for small shapes.
-    if tile % 128 != 0:
-        tile = max(n1, n2)
-    tile = min(tile, n1, n2)
-    if n1 % tile or n2 % tile or (tile % 128 and (tile != n1 or tile != n2)):
-        tile = None  # whole-matrix, no grid
-
-    if tile is None:
-        if batch == 1:
-            def tk_full(x_ref, o_ref):
-                o_ref[:] = x_ref[:].T
-
-            return pl.pallas_call(
-                tk_full,
-                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((n2, n1), jnp.uint32),
-                interpret=interpret,
-                compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-            )
-
-        def tk_full_b(x_ref, o_ref):
-            o_ref[:] = jnp.transpose(x_ref[:], (0, 2, 1))
-
-        return pl.pallas_call(
-            tk_full_b,
-            grid=(batch,),
-            in_specs=[pl.BlockSpec((1, n1, n2), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, n2, n1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((batch, n2, n1), jnp.uint32),
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        )
-
-    if batch == 1:
-        def tkern(x_ref, o_ref):
-            o_ref[:] = x_ref[:].T
-
-        return pl.pallas_call(
-            tkern,
-            grid=(n1 // tile, n2 // tile),
-            in_specs=[pl.BlockSpec((tile, tile), lambda i, j: (i, j), memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((tile, tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n2, n1), jnp.uint32),
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        )
-
-    def tkern_b(x_ref, o_ref):
-        o_ref[:] = jnp.transpose(x_ref[:], (0, 2, 1))
-
-    return pl.pallas_call(
-        tkern_b,
-        grid=(batch, n1 // tile, n2 // tile),
-        in_specs=[pl.BlockSpec((1, tile, tile), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, tile, tile), lambda b, i, j: (b, j, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, n2, n1), jnp.uint32),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )
-
-
 class PallasColpass:
     """Bundles the pallas_call with its prepared twiddle operands."""
 

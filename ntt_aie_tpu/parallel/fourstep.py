@@ -67,7 +67,6 @@ def build_distributed_plan(
     engine: str = "auto",
     interpret: bool = False,
     dp_axis: str | None = None,
-    batch: int = 1,
 ) -> DistributedPlan:
     """Distributed plan over `mesh`'s `config.mesh_axis`.
 
@@ -90,7 +89,7 @@ def build_distributed_plan(
     ax = config.mesh_axis
     D = mesh.shape[ax]
     n1, n2 = config.split
-    if n2 % D or n2 // D % 1:
+    if n2 % D:
         raise ValueError(f"n2={n2} must divide by mesh axis size {D}")
     if n1 % D:
         raise ValueError(f"n1={n1} must divide by mesh axis size {D} (for the transpose)")
@@ -99,19 +98,14 @@ def build_distributed_plan(
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     # ---- host tables (same as single-chip plan) ----
-    br1 = tw.bit_reverse_indices(n1)
-    br2 = tw.bit_reverse_indices(n2)
-    n_inv = field.inv(n)
-    wmat = tw.fourstep_twiddle_matrix(field, n1, n2)[br1, :]
-    iwmat = tw.fourstep_twiddle_matrix(field, n1, n2, inverse=True)[br1, :]
-    iwmat_scaled = (iwmat.astype(np.uint64) * np.uint64(n_inv) % np.uint64(p)).astype(np.int64)
+    tabs = tw.fourstep_tables(field, n1, n2)
+    wmat, iwmat_scaled, pos = tabs["wmat"], tabs["iwmat_scaled"], tabs["pos"]
     if kind == "montgomery":
         iwmat_poly = (
             iwmat_scaled.astype(np.uint64) * np.uint64(field.mont_r_mod_p) % np.uint64(p)
         ).astype(np.int64)
     else:
         iwmat_poly = iwmat_scaled
-    pos = (br2[np.arange(n) // n1] * n1 + br1[np.arange(n) % n1]).astype(np.int32)
 
     tw1 = red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n1), n1))
     tw2 = red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n2), n2))
@@ -310,13 +304,8 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh) -> DistributedPlan:
     if n2 % D or n1 % D:
         raise ValueError(f"split {config.split} must divide by mesh size {D}")
 
-    br1 = tw.bit_reverse_indices(n1)
-    br2 = tw.bit_reverse_indices(n2)
-    n_inv = field.inv(n)
-    wmat = tw.fourstep_twiddle_matrix(field, n1, n2)[br1, :]
-    iwmat = tw.fourstep_twiddle_matrix(field, n1, n2, inverse=True)[br1, :]
-    iwmat_scaled = iwmat.astype(object) * n_inv % p
-    pos = (br2[np.arange(n) // n1] * n1 + br1[np.arange(n) % n1]).astype(np.int32)
+    tabs = tw.fourstep_tables(field, n1, n2)
+    wmat, iwmat_scaled, pos = tabs["wmat"], tabs["iwmat_scaled"], tabs["pos"]
 
     def _pack(nn, direction, inverse=False):
         gen = tw.dif_stage_twiddles if direction == "dif" else tw.dit_stage_twiddles

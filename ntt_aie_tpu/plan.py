@@ -100,18 +100,13 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
     n1, n2 = config.split
 
     # ---- host-side tables ----
-    br1 = tw.bit_reverse_indices(n1)
     if n2 > 1:
-        br2 = tw.bit_reverse_indices(n2)
-        n_inv = field.inv(n)
-        wmat = tw.fourstep_twiddle_matrix(field, n1, n2)[br1, :]
-        iwmat = tw.fourstep_twiddle_matrix(field, n1, n2, inverse=True)[br1, :]
-        iwmat_scaled = (iwmat.astype(np.uint64) * np.uint64(n_inv) % np.uint64(p)).astype(np.int64)
+        tabs = tw.fourstep_tables(field, n1, n2)
+        wmat, iwmat_scaled, pos = tabs["wmat"], tabs["iwmat_scaled"], tabs["pos"]
         if kind == "montgomery":
             iwmat_poly = (iwmat_scaled.astype(np.uint64) * np.uint64(field.mont_r_mod_p) % np.uint64(p)).astype(np.int64)
         else:
             iwmat_poly = iwmat_scaled
-        pos = (br2[np.arange(n) // n1] * n1 + br1[np.arange(n) % n1]).astype(np.int32)
     else:
         n_inv = field.inv(n)
         scale = np.full(1, n_inv, dtype=object)
@@ -119,7 +114,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             scale_poly = scale * field.mont_r_mod_p % p
         else:
             scale_poly = scale
-        pos = tw.bit_reverse_indices(n).astype(np.int32)
+        pos = tw.spectral_positions(n1, 1)
 
     # ---- column-pass engines ----
     if n2 > 1 and engine == "pallas":
@@ -195,9 +190,16 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             # wrapper around pallas custom-calls adds ~28 ms per dispatch
             # (remote-compile round trip); the bare composition dispatches
             # each kernel through the fast path. Callers can still jit.
+            inv_b = lambda a: inv_b_core(a, icp1b)  # noqa: E731
+            if config.ordering == "natural":
+                # honor the ordering wrapper exactly like the unbatched
+                # callables (perm/inv_perm bound below, before any call)
+                raw_fwd_b, raw_inv_b = fwd_b, inv_b
+                fwd_b = lambda a: jnp.take(raw_fwd_b(a), perm, axis=1)  # noqa: E731
+                inv_b = lambda a: raw_inv_b(jnp.take(a, inv_perm, axis=1))  # noqa: E731
             return {
                 "fwd": fwd_b,
-                "inv": lambda a: inv_b_core(a, icp1b),
+                "inv": inv_b,
                 "polymul": polymul_b,
             }
 

@@ -58,8 +58,7 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
         cfg = NTTConfig(field=field, log_n=ln, num_shards=D,
                         rows_log2=ln // 2)
         mesh = Mesh(np.array(devices[:D]), (cfg.mesh_axis,))
-        plan = build_distributed_plan(cfg, mesh, engine=engine,
-                                      dp_axis=None, batch=1)
+        plan = build_distributed_plan(cfg, mesh, engine=engine)
         n1, n2 = cfg.split
         a = rng.integers(0, min(field.p, 1 << 32), (batch, n1, n2))
         xs = [plan.shard_input(a[i].reshape(-1)) for i in range(batch)]
@@ -74,9 +73,11 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
         rate = 1e6 / us_per_ntt
         if base_rate is None:
             base_rate = rate
+            base_d = D
             eff = 1.0
         elif mode == "strong":
-            eff = rate / (base_rate * D)
+            # relative to the FIRST measured device count (need not be 1)
+            eff = rate / (base_rate * (D / base_d))
         else:  # weak: same per-device work, rate should stay ~flat per shard
             eff = rate / base_rate
         row = {

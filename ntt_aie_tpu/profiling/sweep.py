@@ -41,15 +41,23 @@ def run_sweep(field, log_ns: Iterable[int], batches: Iterable[int] = (1,), *,
         n = 1 << log_n
         cfg = NTTConfig(field=field, log_n=log_n, reduction=reduction)
         plan = build_plan(cfg, engine=engine)
+        big = field.p >= (1 << 32)
         for batch in batches:
             fwd = plan.make_batched(batch)["fwd"]
-            a = jnp.asarray(
-                rng.integers(0, min(field.p, 1 << 32), (batch, n)),
-                dtype=jnp.uint32,
-            )
+            vals = rng.integers(0, min(field.p, 1 << 32), (batch, n))
+            if big:
+                # limb-tuple form: keeps the timing chain device-resident
+                # (a uint64 host array would round-trip via gl_to_u64 every
+                # chained step and measure transfers, not kernels)
+                from ntt_aie_tpu.ops import modops as M
+
+                a = M.gl_from_u64(vals.astype(np.uint64))
+            else:
+                a = jnp.asarray(vals, dtype=jnp.uint32)
             res = time_device(fwd, a, iters=iters, repeats=repeats)
             us_per_ntt = res["us_per_iter"] / batch
-            rep = roofline.efficiency_report(us_per_ntt * 1e-6, n)
+            rep = roofline.efficiency_report(us_per_ntt * 1e-6, n,
+                                             itemsize=8 if big else 4)
             row = {
                 "field": field.name,
                 "log_n": log_n,

@@ -160,6 +160,49 @@ def fourstep_twiddle_matrix(
     return out
 
 
+def spectral_positions(n1: int, n2: int) -> np.ndarray:
+    """pos such that natural[k] = flat[pos[k]] for the four-step plans'
+    flat spectral output flat[c*n1 + r] = X[br2(c)*n1 + br1(r)]
+    (flat path n2 == 1: plain bit reversal)."""
+    n = n1 * n2
+    br1 = bit_reverse_indices(n1)
+    if n2 == 1:
+        return br1.astype(np.int32)
+    br2 = bit_reverse_indices(n2)
+    k = np.arange(n)
+    return (br2[k // n1] * n1 + br1[k % n1]).astype(np.int32)
+
+
+def fourstep_tables(field: PrimeField, n1: int, n2: int):
+    """The four-step plan's host tables, shared by every plan builder
+    (single-chip 32-bit, Goldilocks, distributed): returns a dict with
+
+      wmat         — forward twiddle matrix with the pass-1 output bit
+                     reversal baked into its rows (W[br1(r), j2]),
+      iwmat_scaled — inverse matrix likewise, additionally folding 1/n,
+      pos          — spectral_positions(n1, n2).
+
+    Entries are int64 for word primes, Python objects for Goldilocks.
+    """
+    n = n1 * n2
+    br1 = bit_reverse_indices(n1)
+    n_inv = field.inv(n)
+    wmat = fourstep_twiddle_matrix(field, n1, n2)[br1, :]
+    iwmat = fourstep_twiddle_matrix(field, n1, n2, inverse=True)[br1, :]
+    if _tw_dtype(field.p) is object:
+        iwmat_scaled = iwmat.astype(object) * n_inv % field.p
+    else:
+        iwmat_scaled = (
+            iwmat.astype(np.uint64) * np.uint64(n_inv) % np.uint64(field.p)
+        ).astype(np.int64)
+    return {
+        "wmat": wmat,
+        "iwmat_scaled": iwmat_scaled,
+        "pos": spectral_positions(n1, n2),
+        "n_inv": n_inv,
+    }
+
+
 def negacyclic_psi_powers(field: PrimeField, n: int, *, inverse: bool = False) -> np.ndarray:
     """psi^i for i in [0, n) where psi is a primitive 2n-th root (psi^2 = omega).
 
@@ -177,13 +220,3 @@ def negacyclic_psi_powers(field: PrimeField, n: int, *, inverse: bool = False) -
     return out
 
 
-def to_mont(field: PrimeField, table: np.ndarray) -> np.ndarray:
-    """Premultiply a twiddle table by R = 2^32 (Montgomery form), so that
-    REDC(data * table_mont) = data * table mod p with standard-form data."""
-    r = field.mont_r_mod_p
-    p = field.p
-    return (table.astype(object) * r % p).astype(np.int64)
-
-
-def as_uint32(table: np.ndarray) -> np.ndarray:
-    return table.astype(np.uint32)

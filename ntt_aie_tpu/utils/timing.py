@@ -33,16 +33,21 @@ import numpy as np
 
 
 def fence(out) -> None:
-    """True execution fence: device_get a tiny slice that depends on `out`.
+    """True execution fence: device_get a tiny slice of EVERY array leaf.
 
     block_until_ready is not sufficient on tunneled backends (see module
     docstring); a readback is the only wait that provably covers device
-    execution of everything `out` depends on."""
-    leaves = jax.tree_util.tree_leaves(out)
-    for leaf in leaves:
-        if hasattr(leaf, "ravel"):
-            np.asarray(jax.device_get(leaf.ravel()[:8]))
-            return
+    execution. Independent leaves (e.g. a list of separate chains) each
+    need their own readback — fencing only the first would stop the clock
+    while the later-enqueued chains still run. All slices go through one
+    device_get call (a single round trip)."""
+    slices = [
+        leaf.ravel()[:8]
+        for leaf in jax.tree_util.tree_leaves(out)
+        if hasattr(leaf, "ravel")
+    ]
+    if slices:
+        jax.device_get(slices)
 
 
 def chain_loop(fn, iters: int):

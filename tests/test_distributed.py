@@ -130,7 +130,7 @@ def test_distributed_2d_mesh_dp_batch(rng):
     cfg = NTTConfig(field=field, log_n=12, rows_log2=5, num_shards=4)
     B = 4
     a = rng.integers(0, field.p, (B, cfg.n))
-    dist = build_distributed_plan(cfg, mesh, engine="xla", dp_axis="dp", batch=B)
+    dist = build_distributed_plan(cfg, mesh, engine="xla", dp_axis="dp")
     single = build_plan(cfg, engine="xla")
     out = np.asarray(dist.fwd(dist.shard_input(a)))
     for i in range(B):

@@ -142,3 +142,13 @@ def test_pallas_gl_batched_matches_single(rng):
         assert np.array_equal(got[i], np.asarray(plan.fwd(a[i])))
     got1 = np.asarray(plan.make_batched(1)["fwd"](a[:1]))
     assert np.array_equal(got1[0], np.asarray(plan.fwd(a[0])))
+
+
+def test_gl_batched_honors_natural_ordering(rng):
+    from ntt_aie_tpu.goldilocks_plan import build_goldilocks_plan
+
+    cfg = NTTConfig(field=GL, log_n=8, ordering="natural")
+    plan = build_goldilocks_plan(cfg, engine="xla")
+    a = _rand(rng, cfg.n)
+    got = np.asarray(plan.make_batched(1)["fwd"](a[None]))
+    assert np.array_equal(got[0], np.asarray(plan.fwd(a)))

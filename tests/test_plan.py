@@ -221,3 +221,44 @@ def test_pallas_batched_batch_one(rng):
     got = np.asarray(batched["fwd"](jnp.asarray(a[None], dtype=jnp.uint32)))
     assert got.shape == (1, cfg.n)
     assert np.array_equal(got[0], np.asarray(plan_p.fwd(jnp.asarray(a, dtype=jnp.uint32))))
+
+
+def test_host_oracle_matches_device_default_ordering(rng):
+    """Regression (review finding): forward_host/inverse_host must agree
+    with the device plan's spectral order for the default 'bitrev'
+    ordering with an (n1, n2) split — not plain DIF bit reversal."""
+    field = F.P_2013265921
+    cfg = NTTConfig(field=field, log_n=10)  # split (8, 128)
+    ctx = NTTContext(cfg)
+    a = rng.integers(0, field.p, cfg.n)
+    dev = np.asarray(ctx.forward(jnp.asarray(a, dtype=jnp.uint32)))
+    host = ctx.forward_host(a)
+    assert np.array_equal(dev.astype(np.int64), host.astype(np.int64))
+    assert np.array_equal(ctx.inverse_host(host), a)
+
+
+def test_pallas_batched_honors_natural_ordering(rng):
+    """Regression (review finding): make_batched must apply the natural-
+    ordering wrapper on the pallas engine, like the unbatched callables."""
+    from ntt_aie_tpu.plan import build_plan
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=11, rows_log2=4, ordering="natural")
+    plan = build_plan(cfg, engine="pallas", interpret=True)
+    a = rng.integers(0, field.p, cfg.n)
+    batched = plan.make_batched(2)
+    got = np.asarray(batched["fwd"](jnp.asarray(np.stack([a, a]), dtype=jnp.uint32)))
+    want = np.asarray(plan.fwd(jnp.asarray(a, dtype=jnp.uint32)))
+    assert np.array_equal(got[0], want)
+    back = np.asarray(batched["inv"](jnp.asarray(got)))
+    assert np.array_equal(back[1], a)
+
+
+def test_non_primitive_generator_rejected():
+    """Regression (review finding): Fermat-only validation accepted
+    non-primitive generators."""
+    import pytest
+
+    with pytest.raises(ValueError, match="primitive"):
+        F.PrimeField(p=17, g=4)
+    F.PrimeField(p=17, g=3)  # actual primitive root: fine
