@@ -214,6 +214,9 @@ def build_distributed_plan(
         mesh=mesh,
         in_specs=(colshard,) + (wspec,) * n_w,
         out_specs=colshard,
+        # pallas_call outputs carry no varying-mesh-axis metadata, which
+        # trips shard_map's vma check; the sharding here is explicit anyway
+        check_vma=(engine != "pallas"),
     )
 
     fwd_m = smap(fwd_body, len(wmat_d))

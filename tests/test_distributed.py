@@ -190,3 +190,18 @@ def test_pairwise_full_ntt_matches_oracle(mesh8, rng):
     got = np.asarray(fwd(jax.device_put(a.astype(np.uint32), in_sh)))
     want = ref.ntt_dif(a, field)
     assert np.array_equal(got.astype(np.int64), want)
+
+
+def test_distributed_pallas_engine_interpret(mesh8, rng):
+    """The pallas local passes inside shard_map (interpret mode): bit-exact
+    vs the xla-engine distributed plan."""
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=11, rows_log2=4, num_shards=8)  # (16,128)
+    a = rng.integers(0, field.p, cfg.n)
+    d_x = build_distributed_plan(cfg, mesh8, engine="xla")
+    d_p = build_distributed_plan(cfg, mesh8, engine="pallas", interpret=True)
+    got_x = np.asarray(d_x.fwd(d_x.shard_input(a))).reshape(-1)
+    got_p = np.asarray(d_p.fwd(d_p.shard_input(a))).reshape(-1)
+    assert np.array_equal(got_x, got_p)
+    back = np.asarray(d_p.inv(d_p.fwd(d_p.shard_input(a)))).reshape(-1)
+    assert np.array_equal(back, a)
