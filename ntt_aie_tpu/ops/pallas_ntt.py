@@ -50,6 +50,9 @@ def build_colpass(
     red: Reduction,
     direction: str,  # 'dif' | 'dit'
     twiddle_pos: str = "none",  # 'none' | 'pre' | 'post'
+    twiddle_pos2: str = "none",  # optional SECOND elementwise multiply —
+    # lets a pass fuse e.g. a 'pre' four-step matrix AND a 'post'
+    # negacyclic psi^-1 scaling with zero extra HBM round trips
     canonicalize: bool = False,
     block_lanes: int | None = None,
     batch: int = 1,
@@ -81,11 +84,15 @@ def build_colpass(
     assert n2 % block_lanes == 0
     grid = n2 // block_lanes
 
+    n_wm1 = nt if twiddle_pos != "none" else 0
+    n_wm2 = nt if twiddle_pos2 != "none" else 0
+
     def kernel(*refs):
         x_ref = refs[0]
         tw_refs = refs[1 : 1 + logn * nt]
         idx = 1 + logn * nt
-        wmat_refs = refs[idx : idx + nt] if twiddle_pos != "none" else ()
+        wmat_refs = refs[idx : idx + n_wm1]
+        wmat2_refs = refs[idx + n_wm1 : idx + n_wm1 + n_wm2]
         out_ref = refs[-1]
 
         x = x_ref[:]
@@ -93,6 +100,9 @@ def build_colpass(
             x = x.reshape(x.shape[-2], x.shape[-1])
         if twiddle_pos == "pre":
             wm = tuple(r[:].reshape(x.shape) for r in wmat_refs)
+            x = red.mul_const(x, *wm)
+        if twiddle_pos2 == "pre":
+            wm = tuple(r[:].reshape(x.shape) for r in wmat2_refs)
             x = red.mul_const(x, *wm)
         c = x.shape[1]
         subm = red.sub_for_mul or red.sub
@@ -159,6 +169,9 @@ def build_colpass(
         if twiddle_pos == "post":
             wm = tuple(r[:].reshape(x.shape) for r in wmat_refs)
             x = red.mul_const(x, *wm)
+        if twiddle_pos2 == "post":
+            wm = tuple(r[:].reshape(x.shape) for r in wmat2_refs)
+            x = red.mul_const(x, *wm)
         if canonicalize:
             x = red.canonicalize(x)
         if transpose_out:
@@ -202,8 +215,7 @@ def build_colpass(
             out_shape = jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32)
         full_grid = (grid, batch)
     in_specs = [x_spec] + tw_specs
-    if twiddle_pos != "none":
-        in_specs.extend([wmat_spec] * nt)
+    in_specs.extend([wmat_spec] * (n_wm1 + n_wm2))
 
     butterflies = (n1 // 2) * logn * block_lanes
     return pl.pallas_call(
@@ -218,7 +230,7 @@ def build_colpass(
         ),
         cost_estimate=pl.CostEstimate(
             flops=12 * butterflies * grid * batch,
-            bytes_accessed=(2 + (twiddle_pos != "none")) * n1 * n2 * 4 * batch,
+            bytes_accessed=(2 + (n_wm1 + n_wm2) // max(nt, 1)) * n1 * n2 * 4 * batch,
             transcendentals=0,
         ),
     )
@@ -227,17 +239,23 @@ def build_colpass(
 class PallasColpass:
     """Bundles the pallas_call with its prepared twiddle operands."""
 
-    def __init__(self, fn, tw_cols: list, wmat_tables: tuple | None):
+    def __init__(self, fn, tw_cols: list, wmat_tables: tuple | None,
+                 wmat2_tables: tuple | None = None):
         self.fn = fn
         self.tw_cols = [jnp.asarray(t) for t in tw_cols]
         self.wmat = (
             tuple(jnp.asarray(w) for w in wmat_tables) if wmat_tables else None
+        )
+        self.wmat2 = (
+            tuple(jnp.asarray(w) for w in wmat2_tables) if wmat2_tables else None
         )
 
     def __call__(self, x):
         args = [x] + self.tw_cols
         if self.wmat is not None:
             args.extend(self.wmat)
+        if self.wmat2 is not None:
+            args.extend(self.wmat2)
         return self.fn(*args)
 
 
@@ -251,6 +269,8 @@ def make_colpass(
     inverse_tw: bool = False,
     wmat: np.ndarray | None = None,
     twiddle_pos: str = "none",
+    wmat2: np.ndarray | None = None,
+    twiddle_pos2: str = "none",
     canonicalize: bool = False,
     interpret: bool = False,
     block_lanes: int | None = None,
@@ -259,8 +279,9 @@ def make_colpass(
 ) -> PallasColpass:
     """Build a column pass for n1-point NTTs over an (n1, n2) matrix.
 
-    wmat: optional host-side int64/object (n1, n2) twiddle matrix (any
-    bit-reversal baked in by the caller), applied at twiddle_pos.
+    wmat/wmat2: optional host-side int64/object (n1, n2) twiddle matrices
+    (any bit-reversal baked in by the caller), applied at their positions
+    (e.g. wmat 'pre' four-step matrix + wmat2 'post' psi^-1 scaling).
     """
     from ntt_aie_tpu import twiddles as tw
 
@@ -274,16 +295,18 @@ def make_colpass(
         for tab in red.prepare_table(v):
             tw_cols.append(np.ascontiguousarray(tab.reshape(-1, 1)))
     wmat_tables = red.prepare_table(wmat) if wmat is not None else None
+    wmat2_tables = red.prepare_table(wmat2) if wmat2 is not None else None
     fn = build_colpass(
         n1=n1,
         n2=n2,
         red=red,
         direction=direction,
         twiddle_pos=twiddle_pos,
+        twiddle_pos2=twiddle_pos2,
         canonicalize=canonicalize,
         interpret=interpret,
         block_lanes=block_lanes,
         batch=batch,
         transpose_out=transpose_out,
     )
-    return PallasColpass(fn, tw_cols, wmat_tables)
+    return PallasColpass(fn, tw_cols, wmat_tables, wmat2_tables)

@@ -191,17 +191,45 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             # (remote-compile round trip); the bare composition dispatches
             # each kernel through the fast path. Callers can still jit.
             inv_b = lambda a: inv_b_core(a, icp1b)  # noqa: E731
+            out = {"polymul": polymul_b}
+            if config.negacyclic:
+                psi_mat = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
+                psi_inv_mat = tw.negacyclic_psi_powers(
+                    field, n, inverse=True).reshape(n1, n2)
+                ncp1b = PN.make_colpass(field, n1, n2, reduction=kind,
+                                        direction="dif", wmat=psi_mat,
+                                        twiddle_pos="pre", transpose_out=True,
+                                        batch=B, interpret=interpret)
+                nicp1b = PN.make_colpass(field, n1, n2, reduction=kind,
+                                         direction="dit", inverse_tw=True,
+                                         wmat=iwmat_poly, twiddle_pos="pre",
+                                         wmat2=psi_inv_mat, twiddle_pos2="post",
+                                         canonicalize=True, batch=B,
+                                         interpret=interpret)
+
+                def nega_b(a, b):
+                    sh = (n1, n2) if B == 1 else (B, n1, n2)
+                    fa = cp2b(ncp1b(_u32cast(a).reshape(sh))).reshape(B, n)
+                    fb = cp2b(ncp1b(_u32cast(b).reshape(sh))).reshape(B, n)
+                    if kind == "montgomery":
+                        from ntt_aie_tpu.ops import modops as M
+
+                        fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
+                    else:
+                        fc = red.mul_data(fa, fb)
+                    ish = (n2, n1) if B == 1 else (B, n2, n1)
+                    return nicp1b(icp2b(fc.reshape(ish))).reshape(B, n)
+
+                out["negacyclic_polymul"] = nega_b
             if config.ordering == "natural":
                 # honor the ordering wrapper exactly like the unbatched
                 # callables (perm/inv_perm bound below, before any call)
                 raw_fwd_b, raw_inv_b = fwd_b, inv_b
                 fwd_b = lambda a: jnp.take(raw_fwd_b(a), perm, axis=1)  # noqa: E731
                 inv_b = lambda a: raw_inv_b(jnp.take(a, inv_perm, axis=1))  # noqa: E731
-            return {
-                "fwd": fwd_b,
-                "inv": inv_b,
-                "polymul": polymul_b,
-            }
+            out["fwd"] = fwd_b
+            out["inv"] = inv_b
+            return out
 
     elif n2 > 1:  # xla engine
         tw1 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n1), n1)))
@@ -280,7 +308,37 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
 
     # ---- negacyclic wrappers ----
     nega_fn = None
-    if config.negacyclic:
+    if config.negacyclic and n2 > 1 and engine == "pallas":
+        # Fully fused RLWE pipeline: psi^j rides pass 1 as a second 'pre'
+        # multiply and psi^-j rides the last inverse pass as a 'post'
+        # multiply — zero extra HBM round trips vs the cyclic polymul.
+        psi_mat = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
+        psi_inv_mat = tw.negacyclic_psi_powers(field, n, inverse=True).reshape(n1, n2)
+        ncp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dif",
+                               wmat=psi_mat, twiddle_pos="pre",
+                               transpose_out=True, interpret=interpret)
+        nicp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
+                                inverse_tw=True, wmat=iwmat_poly, twiddle_pos="pre",
+                                wmat2=psi_inv_mat, twiddle_pos2="post",
+                                canonicalize=True, interpret=interpret)
+
+        def _nega_fwd(a):
+            x = a.astype(jnp.uint32).reshape(n1, n2)
+            return cp2(ncp1(x)).reshape(n)
+
+        def nega_fn(a, b):
+            fa = _nega_fwd(a)
+            fb = _nega_fwd(b)
+            if kind == "montgomery":
+                from ntt_aie_tpu.ops import modops as M
+
+                fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
+            else:
+                fc = red.mul_data(fa, fb)
+            x = fc.reshape(n2, n1)
+            return nicp1(icp2(x)).reshape(n)
+
+    elif config.negacyclic:
         psi = _dev(red.prepare_table(tw.negacyclic_psi_powers(field, n)))
         psi_inv = _dev(red.prepare_table(tw.negacyclic_psi_powers(field, n, inverse=True)))
 

@@ -262,3 +262,36 @@ def test_non_primitive_generator_rejected():
     with pytest.raises(ValueError, match="primitive"):
         F.PrimeField(p=17, g=4)
     F.PrimeField(p=17, g=3)  # actual primitive root: fine
+
+
+def test_negacyclic_fused_pallas(rng):
+    """The fully fused RLWE pipeline (psi scalings riding the colpass
+    wmat slots) matches the oracle, both reductions."""
+    from ntt_aie_tpu.plan import build_plan
+
+    for field in (F.P_469762049, F.P_2013265921):
+        cfg = NTTConfig(field=field, log_n=10, rows_log2=3, negacyclic=True)
+        plan = build_plan(cfg, engine="pallas", interpret=True)
+        a = rng.integers(0, field.p, cfg.n)
+        b = rng.integers(0, field.p, cfg.n)
+        got = np.asarray(plan.negacyclic_polymul(
+            jnp.asarray(a, dtype=jnp.uint32), jnp.asarray(b, dtype=jnp.uint32)))
+        want = ref.negacyclic_polymul(a, b, field)
+        assert np.array_equal(got.astype(np.int64), want), field.name
+
+
+def test_negacyclic_batched_pallas(rng):
+    from ntt_aie_tpu.plan import build_plan
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=9, rows_log2=3, negacyclic=True)
+    plan = build_plan(cfg, engine="pallas", interpret=True)
+    B = 2
+    a = rng.integers(0, field.p, (B, cfg.n))
+    b = rng.integers(0, field.p, (B, cfg.n))
+    nega_b = plan.make_batched(B)["negacyclic_polymul"]
+    got = np.asarray(nega_b(jnp.asarray(a, dtype=jnp.uint32),
+                            jnp.asarray(b, dtype=jnp.uint32)))
+    for i in range(B):
+        want = ref.negacyclic_polymul(a[i], b[i], field)
+        assert np.array_equal(got[i].astype(np.int64), want)
