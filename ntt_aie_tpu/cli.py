@@ -281,7 +281,7 @@ def main(argv=None) -> int:
     pc.set_defaults(fn=cmd_scaling)
 
     pp = sub.add_parser("plot")
-    pp.add_argument("--summary", default="profile/exectime/summary.csv")
+    pp.add_argument("--summary", default="profile/exectime/summary_p469762049.csv")
     pp.add_argument("--out", default="profile/plots")
     pp.set_defaults(fn=cmd_plot)
 

@@ -89,7 +89,9 @@ def run_sweep(field, log_ns: Iterable[int], batches: Iterable[int] = (1,), *,
                         f.write(f"{v / batch}\n")
     if out_dir and rows:
         cols = [k for k in rows[0] if k != "runs_us"]
-        with open(os.path.join(out_dir, "summary.csv"), "w", newline="") as f:
+        # per-field summary so sweeps of different fields don't clobber
+        with open(os.path.join(out_dir, f"summary_{field.name}.csv"), "w",
+                  newline="") as f:
             w = csv.DictWriter(f, fieldnames=cols, extrasaction="ignore")
             w.writeheader()
             w.writerows(rows)

@@ -46,7 +46,7 @@ def test_sweep_writes_reference_format_csvs(tmp_path):
     with open(raw[0]) as f:
         vals = [float(line) for line in f]
     assert len(vals) == 3  # one µs value per line, like profile/exectime/
-    with open(tmp_path / "summary.csv") as f:
+    with open(tmp_path / "summary_p469762049.csv") as f:
         got = list(csv.DictReader(f))
     assert len(got) == 4 and "hbm_efficiency" in got[0]
 
@@ -57,7 +57,7 @@ def test_plots_render(tmp_path):
 
     run_sweep(F.P_469762049, [8, 9], [1, 2], iters=2, repeats=3,
               out_dir=str(tmp_path), verbose=False)
-    out = plots.render_all(str(tmp_path / "summary.csv"), str(tmp_path / "plots"))
+    out = plots.render_all(str(tmp_path / "summary_p469762049.csv"), str(tmp_path / "plots"))
     assert [os.path.basename(p) for p in out] == [
         "exectime.png", "throughput.png", "efficiency.png"
     ]
