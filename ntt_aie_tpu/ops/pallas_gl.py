@@ -40,6 +40,7 @@ def build_gl_colpass(
     batch: int = 1,
     transpose_out: bool = False,
     interpret: bool = False,
+    fuse: int | None = None,
 ):
     """pallas_call fn(xh, xl, *stage_tw_limbs, *[wmat limbs]) -> (yh, yl)
     over (n1, block_lanes) VMEM slabs, gridded over n2 // block_lanes
@@ -71,25 +72,64 @@ def build_gl_colpass(
             wl = wmat_refs[1][:].reshape(h.shape)
             h, l = M.gl_mul(h, l, wh, wl)
         c = h.shape[1]
-        for s in range(logn):
-            t = ts[s]
-            blocks = n1 // (2 * t)
-            hr = h.reshape(blocks, 2, t, c)
-            lr = l.reshape(blocks, 2, t, c)
-            uh, ul = hr[:, 0], lr[:, 0]
-            vh, vl = hr[:, 1], lr[:, 1]
-            wh = tw_refs[2 * s][:].reshape(1, t, 1)
-            wl = tw_refs[2 * s + 1][:].reshape(1, t, 1)
-            if direction == "dif":
-                ah, al = M.gl_add(uh, ul, vh, vl)
-                dh, dl = M.gl_sub(uh, ul, vh, vl)
-                bh, bl = M.gl_mul(dh, dl, wh, wl)
-            else:
+
+        # Fused radix-2^K stage groups (same recursion as the 32-bit kernel,
+        # ops/pallas_ntt.py): one full-size concat per K stages instead of
+        # one stack per stage. Values stay canonical (gl_* ops fold).
+        def net_dif(ah, al, vecs, tl):
+            r = ah.shape[1]
+            if r == 1:
+                return [(ah, al)]
+            half = r // 2
+            uh, ul = ah[:, :half], al[:, :half]
+            vh, vl = ah[:, half:], al[:, half:]
+            wh = vecs[0][0].reshape(1, half, tl, 1)
+            wl = vecs[0][1].reshape(1, half, tl, 1)
+            sh, sl = M.gl_add(uh, ul, vh, vl)
+            dh, dl = M.gl_sub(uh, ul, vh, vl)
+            mh, ml = M.gl_mul(dh, dl, wh, wl)
+            return net_dif(sh, sl, vecs[1:], tl) + net_dif(mh, ml, vecs[1:], tl)
+
+        def net_dit(ah, al, vecs, tl):
+            r = ah.shape[1]
+            if r == 1:
+                return [(ah, al)]
+            half = r // 2
+            u_parts = net_dit(ah[:, :half], al[:, :half], vecs[:-1], tl)
+            v_parts = net_dit(ah[:, half:], al[:, half:], vecs[:-1], tl)
+            outs_u, outs_v = [], []
+            for i, ((uh, ul), (vh, vl)) in enumerate(zip(u_parts, v_parts)):
+                wh = vecs[-1][0][i * tl : (i + 1) * tl].reshape(1, 1, tl, 1)
+                wl = vecs[-1][1][i * tl : (i + 1) * tl].reshape(1, 1, tl, 1)
                 wvh, wvl = M.gl_mul(vh, vl, wh, wl)
-                ah, al = M.gl_add(uh, ul, wvh, wvl)
-                bh, bl = M.gl_sub(uh, ul, wvh, wvl)
-            h = jnp.stack([ah, bh], axis=1).reshape(n1, c)
-            l = jnp.stack([al, bl], axis=1).reshape(n1, c)
+                outs_u.append(M.gl_add(uh, ul, wvh, wvl))
+                outs_v.append(M.gl_sub(uh, ul, wvh, wvl))
+            return outs_u + outs_v
+
+        # Default radix-2: fusing deeper measured NO gain for Goldilocks on
+        # v5e (gl_mul's ~70 lane-ops dwarf the per-stage concat, unlike the
+        # 32-bit kernel where FUSE=3 bought ~5%), and the fused DIT is ~10x
+        # slower under the Pallas interpreter. The recursion stays available
+        # via `fuse` and is covered by tests.
+        FUSE = fuse if fuse is not None else 1
+        s = 0
+        while s < logn:
+            k = min(FUSE, logn - s)
+            radix = 1 << k
+            vecs = [(tw_refs[2 * (s + j)][:], tw_refs[2 * (s + j) + 1][:])
+                    for j in range(k)]
+            if direction == "dif":
+                tl = ts[s + k - 1]
+            else:
+                tl = ts[s]
+            blocks = n1 // (radix * tl)
+            hr = h.reshape(blocks, radix, tl, c)
+            lr = l.reshape(blocks, radix, tl, c)
+            net = net_dif if direction == "dif" else net_dit
+            parts = net(hr, lr, vecs, tl)
+            h = jnp.concatenate([ph for ph, _ in parts], axis=1).reshape(n1, c)
+            l = jnp.concatenate([pl_ for _, pl_ in parts], axis=1).reshape(n1, c)
+            s += k
         if transpose_out:
             h = h.T
             l = l.T
@@ -177,6 +217,7 @@ def make_gl_colpass(
     block_lanes: int | None = None,
     batch: int = 1,
     transpose_out: bool = False,
+    fuse: int | None = None,
 ) -> GLColpass:
     from ntt_aie_tpu import twiddles as tw
     from ntt_aie_tpu.goldilocks_plan import _split_limbs
@@ -199,5 +240,6 @@ def make_gl_colpass(
         block_lanes=block_lanes,
         batch=batch,
         transpose_out=transpose_out,
+        fuse=fuse,
     )
     return GLColpass(fn, tw_limbs, wmat_limbs)

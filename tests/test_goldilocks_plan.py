@@ -152,3 +152,22 @@ def test_gl_batched_honors_natural_ordering(rng):
     a = _rand(rng, cfg.n)
     got = np.asarray(plan.make_batched(1)["fwd"](a[None]))
     assert np.array_equal(got[0], np.asarray(plan.fwd(a)))
+
+
+def test_gl_fused_recursion_interpret(rng):
+    """Explicit coverage of the fused radix-2^K GL recursion (fuse=3) at a
+    tiny size (interpret default is radix-2 for speed)."""
+    from ntt_aie_tpu.ops.pallas_gl import make_gl_colpass
+    from ntt_aie_tpu.ops import modops as M
+    from ntt_aie_tpu import twiddles as tw
+
+    n1, n2 = 16, 8
+    v = _rand(rng, n1 * n2).reshape(n1, n2)
+    h, l = M.gl_from_u64(v)
+    for d in ("dif", "dit"):
+        fused = make_gl_colpass(GL, n1, n2, direction=d, interpret=True, fuse=3)
+        plain = make_gl_colpass(GL, n1, n2, direction=d, interpret=True, fuse=1)
+        fh, fl = fused(h, l)
+        ph, pl_ = plain(h, l)
+        assert np.array_equal(np.asarray(fh), np.asarray(ph)), d
+        assert np.array_equal(np.asarray(fl), np.asarray(pl_)), d
