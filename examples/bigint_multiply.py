@@ -45,7 +45,7 @@ def main(bits: int = 4096) -> int:
     x = int.from_bytes(rng.bytes(bits // 8), "little")
     y = int.from_bytes(rng.bytes(bits // 8), "little")
 
-    digits = bits // BASE_BITS
+    digits = -(-bits // BASE_BITS)  # ceil: partial top limb counts
     log_n = (2 * digits - 1).bit_length()  # room for the full product
     rns = RNSPolymul(log_n)
     assert rns.max_input_bound() >= (1 << BASE_BITS) - 1

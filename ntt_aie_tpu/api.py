@@ -57,6 +57,11 @@ class NTTContext:
 
     def inverse_host(self, a) -> np.ndarray:
         cfg = self.config
+        if cfg.table_convention == "reference":
+            raise NotImplementedError(
+                "reference table convention has no inverse (not a DFT; "
+                "SURVEY.md §0)"
+            )
         a = np.asarray(a)
         if cfg.ordering != "natural":
             a = a[tw.spectral_positions(*cfg.split)]  # -> natural order

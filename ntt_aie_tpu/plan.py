@@ -175,9 +175,12 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                 x = _u32cast(a).reshape((n2, n1) if B == 1 else (B, n2, n1))
                 return icp(icp2b(x)).reshape(B, n)
 
-            def polymul_b(a, b):
-                fa = fwd_b(a)
-                fb = fwd_b(b)
+            # _fwd early-binds the raw spectral-order fwd_b: the natural-
+            # ordering wrapper rebinds the fwd_b NAME below, and pointwise
+            # products must run in spectral order (same trick as polymul_fn)
+            def polymul_b(a, b, _fwd=fwd_b):
+                fa = _fwd(a)
+                fb = _fwd(b)
                 if kind == "montgomery":
                     from ntt_aie_tpu.ops import modops as M
 
@@ -350,11 +353,14 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
 
     if "batched_builder" not in dir():
         def batched_builder(B):
-            return {
+            out = {
                 "fwd": jax.jit(jax.vmap(fwd_fn)),
                 "inv": jax.jit(jax.vmap(inv_fn)),
                 "polymul": jax.jit(jax.vmap(polymul_fn)),
             }
+            if nega_fn is not None:  # engine-portable with the pallas dict
+                out["negacyclic_polymul"] = jax.jit(jax.vmap(nega_fn))
+            return out
 
     return Plan(
         config=config,

@@ -7,7 +7,7 @@ each (log_n, batch) cell builds a plan, times the batched forward transform
 on device (chained-iteration methodology, utils/timing.py), and writes
 
 - one raw-runs CSV per cell (reference file format: one µs value per line),
-- one summary.csv with derived throughput/roofline columns.
+- one summary_{field}.csv with derived throughput/roofline columns.
 """
 
 from __future__ import annotations

@@ -295,3 +295,41 @@ def test_negacyclic_batched_pallas(rng):
     for i in range(B):
         want = ref.negacyclic_polymul(a[i], b[i], field)
         assert np.array_equal(got[i].astype(np.int64), want)
+
+
+def test_pallas_batched_polymul_natural_ordering(rng):
+    """Regression (2nd review): batched polymul must use the raw spectral
+    forward even when the ordering wrapper rebinds fwd_b."""
+    from ntt_aie_tpu.plan import build_plan
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=11, rows_log2=4, ordering="natural")
+    plan = build_plan(cfg, engine="pallas", interpret=True)
+    a = rng.integers(0, field.p, (2, cfg.n))
+    b = rng.integers(0, field.p, (2, cfg.n))
+    got = np.asarray(plan.make_batched(2)["polymul"](
+        jnp.asarray(a, dtype=jnp.uint32), jnp.asarray(b, dtype=jnp.uint32)))
+    want = ref.cyclic_polymul(a[0], b[0], field)
+    assert np.array_equal(got[0].astype(np.int64), want)
+
+
+def test_xla_batched_includes_negacyclic(rng):
+    from ntt_aie_tpu.plan import build_plan
+
+    field = F.P_2013265921
+    cfg = NTTConfig(field=field, log_n=8, negacyclic=True)
+    plan = build_plan(cfg, engine="xla")
+    a = rng.integers(0, field.p, (2, cfg.n))
+    got = np.asarray(plan.make_batched(2)["negacyclic_polymul"](
+        jnp.asarray(a, dtype=jnp.uint32), jnp.asarray(a, dtype=jnp.uint32)))
+    want = ref.negacyclic_polymul(a[1], a[1], field)
+    assert np.array_equal(got[1].astype(np.int64), want)
+
+
+def test_inverse_host_reference_convention_raises():
+    import pytest
+
+    cfg = NTTConfig(field=F.KYBER, log_n=11, table_convention="reference")
+    ctx = NTTContext(cfg)
+    with pytest.raises(NotImplementedError):
+        ctx.inverse_host(np.zeros(cfg.n, dtype=np.int64))
