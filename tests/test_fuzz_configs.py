@@ -1,0 +1,59 @@
+"""Seeded fuzz over the config space: every sampled (field, log_n, split,
+ordering, engine) must roundtrip and match the oracle. The reference tests
+exactly one configuration on real hardware (SURVEY.md §4); this sweeps the
+plan builder's whole parameter space in CI."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ntt_aie_tpu import fields as F
+from ntt_aie_tpu import reference as ref
+from ntt_aie_tpu.config import NTTConfig
+from ntt_aie_tpu.plan import build_plan
+
+FIELDS = [F.DILITHIUM, F.P_998244353, F.P_2013265921, F.P_469762049]
+
+
+def _cases():
+    rng = np.random.default_rng(20260816)
+    for i in range(10):
+        field = FIELDS[rng.integers(0, len(FIELDS))]
+        log_n = int(rng.integers(4, 13))
+        rows_log2 = int(rng.integers(1, log_n)) if rng.random() < 0.7 else None
+        ordering = ["bitrev", "natural"][rng.integers(0, 2)]
+        engine = ["xla", "pallas"][rng.integers(0, 2)]
+        yield pytest.param(field, log_n, rows_log2, ordering, engine,
+                           id=f"{i}-{field.name}-n{log_n}-r{rows_log2}-{ordering}-{engine}")
+
+
+@pytest.mark.parametrize("field,log_n,rows_log2,ordering,engine", _cases())
+def test_fuzzed_config(field, log_n, rows_log2, ordering, engine, rng):
+    if (1 << log_n) > field.max_n:
+        pytest.skip("n exceeds field")
+    cfg = NTTConfig(field=field, log_n=log_n, rows_log2=rows_log2,
+                    ordering=ordering)
+    n2 = cfg.split[1]
+    if engine == "pallas" and n2 == 1:
+        engine = "xla"  # flat path has no pallas kernels
+    plan = build_plan(cfg, engine=engine, interpret=(engine == "pallas"))
+    a = rng.integers(0, field.p, cfg.n)
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+    flat = np.asarray(plan.fwd(aj))
+    assert flat.max() < field.p
+    if ordering == "natural":
+        want = ref.ntt_forward(a, field)
+        assert np.array_equal(flat.astype(np.int64), want)
+    else:
+        pos = plan.spectral_to_natural
+        assert np.array_equal(flat[pos].astype(np.int64), ref.ntt_forward(a, field))
+    assert np.array_equal(np.asarray(plan.inv(jnp.asarray(flat))), a)
+
+
+def test_config_json_roundtrip():
+    cfg = NTTConfig(field=F.P_998244353, log_n=12, ordering="natural",
+                    rows_log2=5, negacyclic=True)
+    cfg2 = NTTConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    custom = NTTConfig(field=F.PrimeField(p=12289, g=11), log_n=8)
+    assert NTTConfig.from_json(custom.to_json()).field.p == 12289
