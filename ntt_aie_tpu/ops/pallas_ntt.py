@@ -43,6 +43,69 @@ def _stage_shapes(n1: int, direction: str) -> list[int]:
     return [1 << s for s in range(logn)]
 
 
+def run_stages(x, tws: list, direction: str, red: Reduction, *,
+               fuse: int = 3):
+    """All butterfly stages over axis 0 of a (nn, c) value, fused in
+    radix-2^K groups: K stages per single full-size concat/reshape round,
+    with every sub feeding a constant-multiply skipping its conditional
+    correction (sub_for_mul: Shoup accepts any x < 2^32). Bit-exact with
+    the sequential radix-2 loops by construction.
+
+    tws: per-stage tuples of twiddle arrays (values, already read from
+    refs), DIF order = largest stride first. Group size 3 measured best on
+    v5e (8 leaf parts per concat; 4+ spills vregs — even one 4-group in a
+    4+3+3 schedule regressed 6% vs 3+3+3+1).
+    """
+    nn, c = x.shape
+    logn = nn.bit_length() - 1
+    ts = _stage_shapes(nn, direction)
+    subm = red.sub_for_mul or red.sub
+
+    def net_dif(arr, vecs, tl):
+        # arr: (blocks, 2^r, tl, c); vecs[0] = largest-stride stage.
+        # Returns leaf parts (blocks, 1, tl, c) in output row order.
+        r = arr.shape[1]
+        if r == 1:
+            return [arr]
+        half = r // 2
+        u = arr[:, :half]
+        v = arr[:, half:]
+        w = tuple(wv.reshape(1, half, tl, 1) for wv in vecs[0])
+        upper = red.add(u, v)
+        lower = red.mul_const(subm(u, v), *w)
+        return net_dif(upper, vecs[1:], tl) + net_dif(lower, vecs[1:], tl)
+
+    def net_dit(arr, vecs, tl):
+        # vecs[-1] = largest-stride stage (applied at this level).
+        r = arr.shape[1]
+        if r == 1:
+            return [arr]
+        half = r // 2
+        u_parts = net_dit(arr[:, :half], vecs[:-1], tl)
+        v_parts = net_dit(arr[:, half:], vecs[:-1], tl)
+        outs_u, outs_v = [], []
+        for i, (ui, vi) in enumerate(zip(u_parts, v_parts)):
+            w = tuple(wv[i * tl : (i + 1) * tl].reshape(1, 1, tl, 1)
+                      for wv in vecs[-1])
+            wv_i = red.mul_const(vi, *w)
+            outs_u.append(red.add(ui, wv_i))
+            outs_v.append(red.sub(ui, wv_i))
+        return outs_u + outs_v
+
+    s = 0
+    while s < logn:
+        k = min(fuse, logn - s)
+        radix = 1 << k
+        tl = ts[s + k - 1] if direction == "dif" else ts[s]
+        blocks = nn // (radix * tl)
+        vecs = tws[s : s + k]
+        net = net_dif if direction == "dif" else net_dit
+        parts = net(x.reshape(blocks, radix, tl, c), vecs, tl)
+        x = jnp.concatenate(parts, axis=1).reshape(nn, c)
+        s += k
+    return x
+
+
 def build_colpass(
     *,
     n1: int,
@@ -104,68 +167,10 @@ def build_colpass(
         if twiddle_pos2 == "pre":
             wm = tuple(r[:].reshape(x.shape) for r in wmat2_refs)
             x = red.mul_const(x, *wm)
-        c = x.shape[1]
-        subm = red.sub_for_mul or red.sub
 
-        def stage_tw(s):
-            return tuple(tw_refs[s * nt + k][:] for k in range(nt))
-
-        # Fused radix-2^K: K butterfly stages per pass over the slab with a
-        # SINGLE full-size concat/reshape round (vs one per radix-2 stage),
-        # and every sub feeding a constant-multiply skips its conditional
-        # correction (sub_for_mul: Shoup accepts any x < 2^32). Bit-exact
-        # with the sequential radix-2 stages by construction.
-        def net_dif(arr, vecs, tl):
-            # arr: (blocks, 2^r, tl, c); vecs[0] = largest-stride stage.
-            # Returns leaf parts (blocks, 1, tl, c) in output row order.
-            r = arr.shape[1]
-            if r == 1:
-                return [arr]
-            half = r // 2
-            u = arr[:, :half]
-            v = arr[:, half:]
-            w = tuple(wv.reshape(1, half, tl, 1) for wv in vecs[0])
-            upper = red.add(u, v)
-            lower = red.mul_const(subm(u, v), *w)
-            return net_dif(upper, vecs[1:], tl) + net_dif(lower, vecs[1:], tl)
-
-        def net_dit(arr, vecs, tl):
-            # vecs[-1] = largest-stride stage (applied at this level).
-            r = arr.shape[1]
-            if r == 1:
-                return [arr]
-            half = r // 2
-            u_parts = net_dit(arr[:, :half], vecs[:-1], tl)
-            v_parts = net_dit(arr[:, half:], vecs[:-1], tl)
-            outs_u, outs_v = [], []
-            for i, (ui, vi) in enumerate(zip(u_parts, v_parts)):
-                w = tuple(wv[i * tl : (i + 1) * tl].reshape(1, 1, tl, 1)
-                          for wv in vecs[-1])
-                wv_i = red.mul_const(vi, *w)
-                outs_u.append(red.add(ui, wv_i))
-                outs_v.append(red.sub(ui, wv_i))
-            return outs_u + outs_v
-
-        # Group size 3 measured best on v5e (8 leaf parts per concat; 4+
-        # spills vregs — even a single 4-group in a 4+3+3 schedule regressed
-        # 6% vs 3+3+3+1).
-        FUSE = 3
-        s = 0
-        while s < logn:
-            k = min(FUSE, logn - s)
-            radix = 1 << k
-            if direction == "dif":
-                tl = ts[s + k - 1]          # smallest stride in the group
-                blocks = n1 // (radix * tl)
-                vecs = [stage_tw(s + j) for j in range(k)]
-                parts = net_dif(x.reshape(blocks, radix, tl, c), vecs, tl)
-            else:
-                tl = ts[s]                  # smallest stride in the group
-                blocks = n1 // (radix * tl)
-                vecs = [stage_tw(s + j) for j in range(k)]
-                parts = net_dit(x.reshape(blocks, radix, tl, c), vecs, tl)
-            x = jnp.concatenate(parts, axis=1).reshape(n1, c)
-            s += k
+        tws = [tuple(tw_refs[s * nt + k][:] for k in range(nt))
+               for s in range(logn)]
+        x = run_stages(x, tws, direction, red)
         if twiddle_pos == "post":
             wm = tuple(r[:].reshape(x.shape) for r in wmat_refs)
             x = red.mul_const(x, *wm)
@@ -310,3 +315,132 @@ def make_colpass(
         transpose_out=transpose_out,
     )
     return PallasColpass(fn, tw_cols, wmat_tables, wmat2_tables)
+
+
+def build_fused_fourstep(
+    *,
+    n1: int,
+    n2: int,
+    red: Reduction,
+    inverse: bool = False,
+    has_pre: bool = False,
+    has_post: bool = False,
+    batch: int = 1,
+    interpret: bool = False,
+):
+    """BOTH four-step passes in ONE kernel: the whole (n1, n2) matrix lives
+    in VMEM, the transpose happens in-register, and HBM is touched exactly
+    once in and once out per transform (vs twice for the two-kernel path —
+    measured 13-15% faster at n = 2^18..2^20 on v5e; at n <= 2^16 the
+    two-kernel slab pipeline wins, see plan.py's size gate).
+
+    Forward: [pre ⊙] DIF over n1 -> T -> ⊙ wmid -> DIF over n2 -> canon.
+    Inverse: DIT over n2 -> T -> ⊙ wmid -> DIT over n1 [-> post ⊙] -> canon.
+    Argument order: x, tw_a stage cols, tw_b stage cols, wmid (nt), [pre
+    (nt)], [post (nt)]. tw_a = the FIRST stage set applied (n1 for forward,
+    n2 for inverse); wmid shaped like the post-transpose matrix.
+    """
+    loga, logb = ((n1.bit_length() - 1, n2.bit_length() - 1) if not inverse
+                  else (n2.bit_length() - 1, n1.bit_length() - 1))
+    direction = "dit" if inverse else "dif"
+    nn_a, nn_b = (n1, n2) if not inverse else (n2, n1)
+    ts_a = _stage_shapes(nn_a, direction)
+    ts_b = _stage_shapes(nn_b, direction)
+    nt = red.n_tables
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        i = 1
+        twa = refs[i : i + loga * nt]; i += loga * nt
+        twb = refs[i : i + logb * nt]; i += logb * nt
+        wmid = refs[i : i + nt]; i += nt
+        pre = refs[i : i + nt] if has_pre else (); i += nt if has_pre else 0
+        post = refs[i : i + nt] if has_post else ()
+        out_ref = refs[-1]
+
+        x = x_ref[:].reshape(nn_a, nn_b)
+        if has_pre:
+            x = red.mul_const(x, *(r[:].reshape(x.shape) for r in pre))
+        tws_a = [tuple(twa[s * nt + k][:] for k in range(nt))
+                 for s in range(loga)]
+        x = run_stages(x, tws_a, direction, red)
+        x = x.T
+        x = red.mul_const(x, *(r[:].reshape(x.shape) for r in wmid))
+        tws_b = [tuple(twb[s * nt + k][:] for k in range(nt))
+                 for s in range(logb)]
+        x = run_stages(x, tws_b, direction, red)
+        if has_post:
+            x = red.mul_const(x, *(r[:].reshape(x.shape) for r in post))
+        out_ref[:] = red.canonicalize(x).reshape(out_ref.shape)
+
+    def whole(shape):
+        if batch == 1:
+            return pl.BlockSpec(shape, lambda: tuple(0 for _ in shape),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1,) + shape,
+                            lambda b: (b,) + tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    def const2d(shape):
+        if batch == 1:
+            return pl.BlockSpec(shape, lambda: (0, 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda b: (0, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [whole((nn_a, nn_b))]
+    in_specs += [const2d((t, 1)) for t in ts_a for _ in range(nt)]
+    in_specs += [const2d((t, 1)) for t in ts_b for _ in range(nt)]
+    in_specs += [const2d((nn_b, nn_a))] * nt          # wmid (post-transpose)
+    if has_pre:
+        in_specs += [const2d((nn_a, nn_b))] * nt
+    if has_post:
+        in_specs += [const2d((nn_b, nn_a))] * nt
+    out_sh = (nn_b, nn_a) if batch == 1 else (batch, nn_b, nn_a)
+
+    return pl.pallas_call(
+        kernel,
+        grid=() if batch == 1 else (batch,),
+        in_specs=in_specs,
+        out_specs=whole((nn_b, nn_a)),
+        out_shape=jax.ShapeDtypeStruct(out_sh, jnp.uint32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )
+
+
+def make_fused_fourstep(
+    field,
+    n1: int,
+    n2: int,
+    *,
+    reduction: str,
+    inverse: bool = False,
+    wmid: np.ndarray,
+    pre: np.ndarray | None = None,
+    post: np.ndarray | None = None,
+    batch: int = 1,
+    interpret: bool = False,
+) -> PallasColpass:
+    """Single-kernel four-step transform; see build_fused_fourstep."""
+    from ntt_aie_tpu import twiddles as tw
+
+    red = make_reduction(reduction, field)
+    gen = tw.dit_stage_twiddles if inverse else tw.dif_stage_twiddles
+    nn_a, nn_b = (n1, n2) if not inverse else (n2, n1)
+    cols: list[np.ndarray] = []
+    for nn in (nn_a, nn_b):
+        for v in gen(field, nn, inverse=inverse):
+            for tab in red.prepare_table(v):
+                cols.append(np.ascontiguousarray(tab.reshape(-1, 1)))
+    tail = list(red.prepare_table(wmid))
+    if pre is not None:
+        tail += list(red.prepare_table(pre))
+    if post is not None:
+        tail += list(red.prepare_table(post))
+    fn = build_fused_fourstep(
+        n1=n1, n2=n2, red=red, inverse=inverse,
+        has_pre=pre is not None, has_post=post is not None,
+        batch=batch, interpret=interpret,
+    )
+    return PallasColpass(fn, cols, tuple(tail))

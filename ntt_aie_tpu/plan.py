@@ -149,7 +149,81 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         inv_fn = lambda a: _inv_core(a, icp1)  # noqa: E731
         inv_poly_fn = lambda a: _inv_core(a, icp1_poly)  # noqa: E731
 
+        # Single-kernel whole-transform: both passes + in-register transpose
+        # in ONE pallas_call, HBM touched once in/once out. Interleaved A/B
+        # on the (shared) v5e showed parity at best and a regression at
+        # small/large batch (an initial +14% reading was co-tenant noise),
+        # so auto-selection is OFF; the kernel stays available through
+        # ops/pallas_ntt.make_fused_fourstep and is covered by tests.
+        fused_ok = False
+        if fused_ok:
+            wmid_fwd = np.ascontiguousarray(wmat.T)
+
+            def _mk_fused(B=1, **kw):
+                return PN.make_fused_fourstep(field, n1, n2, reduction=kind,
+                                              batch=B, interpret=interpret, **kw)
+
+            ff = _mk_fused(wmid=wmid_fwd)
+            fi = _mk_fused(wmid=iwmat_scaled, inverse=True)
+            fip = _mk_fused(wmid=iwmat_poly, inverse=True)
+            fwd_fn = lambda a: ff(a.astype(jnp.uint32).reshape(n1, n2)).reshape(n)  # noqa: E731
+            inv_fn = lambda a: fi(a.astype(jnp.uint32).reshape(n2, n1)).reshape(n)  # noqa: E731
+            inv_poly_fn = lambda a: fip(a.astype(jnp.uint32).reshape(n2, n1)).reshape(n)  # noqa: E731
+
         def batched_builder(B):
+            if fused_ok:
+                ffb = _mk_fused(B, wmid=wmid_fwd)
+                fib = _mk_fused(B, wmid=iwmat_scaled, inverse=True)
+                fipb = _mk_fused(B, wmid=iwmat_poly, inverse=True)
+                bsh = (n1, n2) if B == 1 else (B, n1, n2)
+                ish = (n2, n1) if B == 1 else (B, n2, n1)
+
+                def fwd_b(a, _f=ffb):
+                    return _f(_u32cast(a).reshape(bsh)).reshape(B, n)
+
+                def inv_b(a, _f=fib):
+                    return _f(_u32cast(a).reshape(ish)).reshape(B, n)
+
+                def polymul_b(a, b, _fwd=fwd_b):
+                    fa = _fwd(a)
+                    fb = _fwd(b)
+                    if kind == "montgomery":
+                        from ntt_aie_tpu.ops import modops as M
+
+                        fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
+                    else:
+                        fc = red.mul_data(fa, fb)
+                    return fipb(_u32cast(fc).reshape(ish)).reshape(B, n)
+
+                out = {"polymul": polymul_b}
+                if config.negacyclic:
+                    psi_m = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
+                    psi_im = tw.negacyclic_psi_powers(
+                        field, n, inverse=True).reshape(n1, n2)
+                    nfb = _mk_fused(B, wmid=wmid_fwd, pre=psi_m)
+                    nib = _mk_fused(B, wmid=iwmat_poly, inverse=True,
+                                    post=psi_im)
+
+                    def nega_b(a, b):
+                        fa = nfb(_u32cast(a).reshape(bsh)).reshape(B, n)
+                        fb = nfb(_u32cast(b).reshape(bsh)).reshape(B, n)
+                        if kind == "montgomery":
+                            from ntt_aie_tpu.ops import modops as M
+
+                            fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
+                        else:
+                            fc = red.mul_data(fa, fb)
+                        return nib(_u32cast(fc).reshape(ish)).reshape(B, n)
+
+                    out["negacyclic_polymul"] = nega_b
+                if config.ordering == "natural":
+                    raw_fwd_bf, raw_inv_bf = fwd_b, inv_b
+                    fwd_b = lambda a: jnp.take(raw_fwd_bf(a), perm, axis=1)  # noqa: E731
+                    inv_b = lambda a: raw_inv_bf(jnp.take(a, inv_perm, axis=1))  # noqa: E731
+                out["fwd"] = fwd_b
+                out["inv"] = inv_b
+                return out
+
             cp1b = PN.make_colpass(field, n1, n2, reduction=kind, direction="dif",
                                    batch=B, transpose_out=True, interpret=interpret)
             cp2b = PN.make_colpass(field, n2, n1, reduction=kind, direction="dif",
@@ -317,17 +391,31 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         # multiply — zero extra HBM round trips vs the cyclic polymul.
         psi_mat = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
         psi_inv_mat = tw.negacyclic_psi_powers(field, n, inverse=True).reshape(n1, n2)
-        ncp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dif",
-                               wmat=psi_mat, twiddle_pos="pre",
-                               transpose_out=True, interpret=interpret)
-        nicp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
-                                inverse_tw=True, wmat=iwmat_poly, twiddle_pos="pre",
-                                wmat2=psi_inv_mat, twiddle_pos2="post",
-                                canonicalize=True, interpret=interpret)
+        if fused_ok:
+            nf = _mk_fused(wmid=wmid_fwd, pre=psi_mat)
+            ni = _mk_fused(wmid=iwmat_poly, inverse=True, post=psi_inv_mat)
 
-        def _nega_fwd(a):
-            x = a.astype(jnp.uint32).reshape(n1, n2)
-            return cp2(ncp1(x)).reshape(n)
+            def _nega_fwd(a):
+                return nf(a.astype(jnp.uint32).reshape(n1, n2)).reshape(n)
+
+            def _nega_inv(fc):
+                return ni(_u32cast(fc).reshape(n2, n1)).reshape(n)
+
+        else:
+            ncp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dif",
+                                   wmat=psi_mat, twiddle_pos="pre",
+                                   transpose_out=True, interpret=interpret)
+            nicp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
+                                    inverse_tw=True, wmat=iwmat_poly, twiddle_pos="pre",
+                                    wmat2=psi_inv_mat, twiddle_pos2="post",
+                                    canonicalize=True, interpret=interpret)
+
+            def _nega_fwd(a):
+                x = a.astype(jnp.uint32).reshape(n1, n2)
+                return cp2(ncp1(x)).reshape(n)
+
+            def _nega_inv(fc):
+                return nicp1(icp2(fc.reshape(n2, n1))).reshape(n)
 
         def nega_fn(a, b):
             fa = _nega_fwd(a)
@@ -338,8 +426,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                 fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
             else:
                 fc = red.mul_data(fa, fb)
-            x = fc.reshape(n2, n1)
-            return nicp1(icp2(x)).reshape(n)
+            return _nega_inv(fc)
 
     elif config.negacyclic:
         psi = _dev(red.prepare_table(tw.negacyclic_psi_powers(field, n)))

@@ -333,3 +333,51 @@ def test_inverse_host_reference_convention_raises():
     ctx = NTTContext(cfg)
     with pytest.raises(NotImplementedError):
         ctx.inverse_host(np.zeros(cfg.n, dtype=np.int64))
+
+
+def test_fused_fourstep_single_kernel(rng):
+    """Single-kernel whole-transform (both passes + in-register transpose)
+    matches the two-kernel path, forward and inverse, incl. negacyclic
+    pre/post fusion (plan auto-selects it only for 1-4 MB matrices; tested
+    here directly at a small size in interpret mode)."""
+    from ntt_aie_tpu.ops import pallas_ntt as PN
+    from ntt_aie_tpu.plan import build_plan
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=10, rows_log2=5, negacyclic=True)
+    n1, n2 = cfg.split
+    plan = build_plan(cfg, engine="xla")
+    a = rng.integers(0, field.p, cfg.n)
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+
+    tabs = tw.fourstep_tables(field, n1, n2)
+    ff = PN.make_fused_fourstep(field, n1, n2, reduction="harvey",
+                                wmid=np.ascontiguousarray(tabs["wmat"].T),
+                                interpret=True)
+    got = np.asarray(ff(aj.reshape(n1, n2))).reshape(-1)
+    assert np.array_equal(got, np.asarray(plan.fwd(aj)))
+
+    fi = PN.make_fused_fourstep(field, n1, n2, reduction="harvey",
+                                wmid=tabs["iwmat_scaled"], inverse=True,
+                                interpret=True)
+    back = np.asarray(fi(jnp.asarray(got, dtype=jnp.uint32).reshape(n2, n1))).reshape(-1)
+    assert np.array_equal(back, a)
+
+    # negacyclic: psi pre / psi^-1 post riding the fused kernels
+    psi = tw.negacyclic_psi_powers(field, cfg.n).reshape(n1, n2)
+    psi_inv = tw.negacyclic_psi_powers(field, cfg.n, inverse=True).reshape(n1, n2)
+    nf = PN.make_fused_fourstep(field, n1, n2, reduction="harvey",
+                                wmid=np.ascontiguousarray(tabs["wmat"].T),
+                                pre=psi, interpret=True)
+    ni = PN.make_fused_fourstep(field, n1, n2, reduction="harvey",
+                                wmid=tabs["iwmat_scaled"], inverse=True,
+                                post=psi_inv, interpret=True)
+    from ntt_aie_tpu.ops.reductions import make_reduction
+    red = make_reduction("harvey", field)
+    b = rng.integers(0, field.p, cfg.n)
+    fa = nf(aj.reshape(n1, n2)).reshape(-1)
+    fb = nf(jnp.asarray(b, dtype=jnp.uint32).reshape(n1, n2)).reshape(-1)
+    fc = red.mul_data(fa, fb)
+    got_n = np.asarray(ni(fc.reshape(n2, n1))).reshape(-1)
+    want_n = ref.negacyclic_polymul(a, b, field)
+    assert np.array_equal(got_n.astype(np.int64), want_n)
