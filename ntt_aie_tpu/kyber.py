@@ -1,0 +1,139 @@
+"""ML-KEM (FIPS 203 / Kyber) native NTT over Z_3329[X]/(X^256 + 1).
+
+The reference runs the Kyber prime through a generic 2048-point butterfly
+network that is not the Kyber transform at all (SURVEY.md §0: its table
+isn't even a root of unity at n=2048). This module implements the REAL
+ML-KEM arithmetic, batched on device:
+
+- ``kyber_ntt``  — the 7-layer incomplete NTT (zeta = 17, layers len =
+  128..2, zetas in BitRev7 order; FIPS 203 Algorithm 9),
+- ``kyber_intt`` — its inverse with the 1/128 scale (Algorithm 10),
+- ``kyber_basemul`` — MultiplyNTTs: 128 products of degree-1 polynomials
+  mod (X^2 - zeta^(2*BitRev7(i)+1)) (Algorithms 11-12),
+- ``kyber_polymul`` — intt(basemul(ntt(a), ntt(b))): the negacyclic
+  product in the ML-KEM ring.
+
+Data layout: coefficients ride the sublane axis, the batch rides lanes —
+(256, B) matrices through the same Barrett mask/select arithmetic as the
+reference's kernels (ops/modops.barrett_mul, p = 3329 fits its bounds).
+All functions accept (..., 256) uint32 arrays, batched or single.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ntt_aie_tpu import fields as F
+from ntt_aie_tpu.ops import modops as M
+
+Q = 3329
+ZETA = 17
+N = 256
+_W, _U = F.KYBER.barrett_w, F.KYBER.barrett_u  # Barrett constants for 3329
+
+
+def _bitrev7(x: int) -> int:
+    r = 0
+    for _ in range(7):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
+def _zeta_pow(e: int) -> int:
+    return F.modpow(ZETA, e, Q)
+
+
+def _layer_zetas(inverse: bool = False) -> list[np.ndarray]:
+    """Per-layer zeta vectors, one entry per block: layer L has
+    blocks = 2^(L+1)/2 = 2^L blocks (len = 128 >> L), zeta index
+    k = blocks + i (FIPS 203's sequential k), value zeta^BitRev7(k)."""
+    layers = []
+    for L in range(7):
+        blocks = 1 << L
+        vec = np.array(
+            [_zeta_pow(_bitrev7(blocks + i)) for i in range(blocks)],
+            dtype=np.uint32,
+        )
+        if inverse:
+            vec = np.array([F.modpow(int(v), Q - 2, Q) for v in vec],
+                           dtype=np.uint32)
+        layers.append(vec)
+    return layers
+
+
+_ZETAS = _layer_zetas()
+_IZETAS = _layer_zetas(inverse=True)
+_GAMMAS = np.array(
+    [_zeta_pow(2 * _bitrev7(i) + 1) for i in range(128)], dtype=np.uint32
+)
+_N_INV = F.modpow(128, Q - 2, Q)  # 3303
+
+
+def _mul(a, b):
+    return M.barrett_mul(a, b, Q, _W, _U)
+
+
+def _as_cols(f):
+    """(..., 256) -> (256, B) uint32 and a restorer."""
+    f = jnp.asarray(f, dtype=jnp.uint32)
+    shape = f.shape
+    x = f.reshape(-1, N).T  # (256, B)
+    return x, lambda y: y.T.reshape(shape)
+
+
+def kyber_ntt(f):
+    """FIPS 203 Algorithm 9 over the last axis (length 256)."""
+    x, restore = _as_cols(f)
+    c = x.shape[1]
+    for L in range(7):
+        len_ = 128 >> L
+        blocks = 1 << L
+        xr = x.reshape(blocks, 2, len_, c)
+        u, v = xr[:, 0], xr[:, 1]
+        z = jnp.asarray(_ZETAS[L]).reshape(blocks, 1, 1)
+        t = _mul(v, z)
+        x = jnp.stack(
+            [M.add_mod(u, t, Q), M.sub_mod(u, t, Q)], axis=1
+        ).reshape(N, c)
+    return restore(x)
+
+
+def kyber_intt(fhat):
+    """FIPS 203 Algorithm 10 (inverse layers in reverse, GS butterflies,
+    final 1/128 scale)."""
+    x, restore = _as_cols(fhat)
+    c = x.shape[1]
+    for L in reversed(range(7)):
+        len_ = 128 >> L
+        blocks = 1 << L
+        xr = x.reshape(blocks, 2, len_, c)
+        u, v = xr[:, 0], xr[:, 1]
+        z = jnp.asarray(_IZETAS[L]).reshape(blocks, 1, 1)  # zeta^-1
+        new_u = M.add_mod(u, v, Q)
+        new_v = _mul(M.sub_mod(u, v, Q), z)  # GS: zeta^-1 * (u - v)
+        x = jnp.stack([new_u, new_v], axis=1).reshape(N, c)
+    x = _mul(x, jnp.full((1, 1), _N_INV, dtype=jnp.uint32))
+    return restore(x)
+
+
+def kyber_basemul(ahat, bhat):
+    """MultiplyNTTs (FIPS 203 Algorithms 11-12): pairwise products of
+    degree-1 polynomials mod (X^2 - gamma_i)."""
+    a = jnp.asarray(ahat, dtype=jnp.uint32)
+    b = jnp.asarray(bhat, dtype=jnp.uint32)
+    shape = a.shape
+    a2 = a.reshape(-1, 128, 2)
+    b2 = b.reshape(-1, 128, 2)
+    a0, a1 = a2[..., 0], a2[..., 1]
+    b0, b1 = b2[..., 0], b2[..., 1]
+    g = jnp.asarray(_GAMMAS).reshape(1, 128)
+    c0 = M.add_mod(_mul(a0, b0), _mul(_mul(a1, b1), g), Q)
+    c1 = M.add_mod(_mul(a0, b1), _mul(a1, b0), Q)
+    return jnp.stack([c0, c1], axis=-1).reshape(shape)
+
+
+def kyber_polymul(a, b):
+    """a * b in Z_3329[X]/(X^256 + 1) via the ML-KEM pipeline."""
+    return kyber_intt(kyber_basemul(kyber_ntt(a), kyber_ntt(b)))

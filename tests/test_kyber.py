@@ -1,0 +1,86 @@
+"""ML-KEM (FIPS 203) Kyber NTT: device vs a from-scratch scalar
+implementation of the standard, plus the ring product vs schoolbook."""
+
+import numpy as np
+
+from ntt_aie_tpu import fields as F
+from ntt_aie_tpu import kyber as K
+from ntt_aie_tpu import reference as ref
+
+Q = 3329
+
+
+def _bitrev7(x):
+    r = 0
+    for _ in range(7):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r
+
+
+def _scalar_ntt(f):
+    """FIPS 203 Algorithm 9, straight transcription."""
+    f = [int(v) for v in f]
+    k = 1
+    length = 128
+    while length >= 2:
+        for start in range(0, 256, 2 * length):
+            zeta = pow(17, _bitrev7(k), Q)
+            k += 1
+            for j in range(start, start + length):
+                t = zeta * f[j + length] % Q
+                f[j + length] = (f[j] - t) % Q
+                f[j] = (f[j] + t) % Q
+        length //= 2
+    return np.array(f)
+
+
+def _scalar_intt(fh):
+    """FIPS 203 Algorithm 10, straight transcription."""
+    f = [int(v) for v in fh]
+    k = 127
+    length = 2
+    while length <= 128:
+        for start in range(0, 256, 2 * length):
+            zeta = pow(17, _bitrev7(k), Q)
+            k -= 1
+            for j in range(start, start + length):
+                t = f[j]
+                f[j] = (t + f[j + length]) % Q
+                f[j + length] = zeta * (f[j + length] - t) % Q
+        length *= 2
+    return np.array([v * 3303 % Q for v in f])
+
+
+def test_ntt_matches_fips_scalar(rng):
+    f = rng.integers(0, Q, 256)
+    got = np.asarray(K.kyber_ntt(f.astype(np.uint32)))
+    assert np.array_equal(got.astype(np.int64), _scalar_ntt(f))
+
+
+def test_intt_matches_fips_scalar_and_roundtrip(rng):
+    f = rng.integers(0, Q, 256)
+    fh = _scalar_ntt(f)
+    got = np.asarray(K.kyber_intt(fh.astype(np.uint32)))
+    assert np.array_equal(got.astype(np.int64), _scalar_intt(fh))
+    assert np.array_equal(got.astype(np.int64), f)
+    back = np.asarray(K.kyber_intt(K.kyber_ntt(f.astype(np.uint32))))
+    assert np.array_equal(back.astype(np.int64), f)
+
+
+def test_polymul_matches_schoolbook_negacyclic(rng):
+    a = rng.integers(0, Q, 256)
+    b = rng.integers(0, Q, 256)
+    got = np.asarray(K.kyber_polymul(a.astype(np.uint32), b.astype(np.uint32)))
+    want = ref.schoolbook_negacyclic(a, b, Q)
+    assert np.array_equal(got.astype(np.int64), want)
+
+
+def test_batched(rng):
+    B = 4
+    a = rng.integers(0, Q, (B, 256)).astype(np.uint32)
+    got = np.asarray(K.kyber_ntt(a))
+    for i in range(B):
+        assert np.array_equal(got[i], np.asarray(K.kyber_ntt(a[i])))
+    back = np.asarray(K.kyber_intt(got))
+    assert np.array_equal(back, a)
