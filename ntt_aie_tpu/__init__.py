@@ -31,6 +31,7 @@ from ntt_aie_tpu.fields import (
 )
 from ntt_aie_tpu.config import NTTConfig
 from ntt_aie_tpu.api import NTTContext
+from ntt_aie_tpu.rns import RNSPolymul
 
 __version__ = "0.1.0"
 
@@ -47,4 +48,5 @@ __all__ = [
     "max_ntt_size",
     "NTTConfig",
     "NTTContext",
+    "RNSPolymul",
 ]
