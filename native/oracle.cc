@@ -256,4 +256,24 @@ void ntt_negacyclic_polymul_u64(const uint64_t* a, const uint64_t* b,
     delete[] tb;
 }
 
+// Direct O(n^2) schoolbook negacyclic product mod (X^n + 1, p): the gate
+// for incomplete-NTT rings (e.g. ML-KEM's Z_3329[X]/(X^256+1), where no
+// 2n-th root of unity exists so the NTT-based oracle above cannot run).
+void ntt_schoolbook_negacyclic_u64(const uint64_t* a, const uint64_t* b,
+                                   uint64_t* c, int64_t n, uint64_t p) {
+    for (int64_t k = 0; k < n; k++) c[k] = 0;
+    for (int64_t i = 0; i < n; i++) {
+        for (int64_t j = 0; j < n; j++) {
+            uint64_t prod = mulmod_u64(a[i], b[j], p);
+            int64_t k = i + j;
+            if (k < n) {
+                c[k] = addmod_u64(c[k], prod, p);
+            } else {
+                uint64_t neg = prod == 0 ? 0 : p - prod;
+                c[k - n] = addmod_u64(c[k - n], neg, p);
+            }
+        }
+    }
+}
+
 }  // extern "C"

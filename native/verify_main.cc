@@ -11,7 +11,9 @@
 //   char[4]  "NTTV"            magic
 //   u32      version (1)
 //   u32      kind: 0=forward DIF (bitrev order), 1=cyclic polymul,
-//                  2=negacyclic polymul
+//                  2=negacyclic polymul (via NTT; needs a 2n-th root),
+//                  3=negacyclic schoolbook (root field ignored; gates
+//                    incomplete-NTT rings like ML-KEM)
 //   u64      p, u64 n, u64 root (omega for kinds 0-1, psi for kind 2)
 //   u64[n]   input a
 //   u64[n]   input b            (kinds 1-2 only)
@@ -33,6 +35,8 @@ void ntt_cyclic_polymul_u64(const uint64_t*, const uint64_t*, uint64_t*,
                             int64_t, uint64_t, uint64_t);
 void ntt_negacyclic_polymul_u64(const uint64_t*, const uint64_t*, uint64_t*,
                                 int64_t, uint64_t, uint64_t);
+void ntt_schoolbook_negacyclic_u64(const uint64_t*, const uint64_t*,
+                                   uint64_t*, int64_t, uint64_t);
 }
 
 static bool read_exact(FILE* f, void* dst, size_t bytes) {
@@ -54,7 +58,7 @@ int main(int argc, char** argv) {
     uint64_t p = 0, n = 0, root = 0;
     if (!read_exact(f, magic, 4) || memcmp(magic, "NTTV", 4) != 0 ||
         !read_exact(f, &version, 4) || version != 1 ||
-        !read_exact(f, &kind, 4) || kind > 2 || !read_exact(f, &p, 8) ||
+        !read_exact(f, &kind, 4) || kind > 3 || !read_exact(f, &p, 8) ||
         !read_exact(f, &n, 8) || !read_exact(f, &root, 8) || n == 0 ||
         (n & (n - 1)) != 0) {
         fprintf(stderr, "bad header\n");
@@ -76,9 +80,12 @@ int main(int argc, char** argv) {
     } else if (kind == 1) {
         ntt_cyclic_polymul_u64(a.data(), b.data(), want.data(), (int64_t)n,
                                root, p);
-    } else {
+    } else if (kind == 2) {
         ntt_negacyclic_polymul_u64(a.data(), b.data(), want.data(),
                                    (int64_t)n, root, p);
+    } else {
+        ntt_schoolbook_negacyclic_u64(a.data(), b.data(), want.data(),
+                                      (int64_t)n, p);
     }
 
     // Elementwise compare with mismatch reporting, the reference's gate

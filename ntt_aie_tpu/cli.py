@@ -115,6 +115,31 @@ def cmd_verify(args) -> int:
                    np.array_equal(got.astype(object), wantp.astype(object)),
                    failures)
 
+        if field.p == 3329:
+            # ML-KEM (FIPS 203) pipeline on device, gated by the NumPy
+            # schoolbook AND (with --native) the C++ schoolbook oracle
+            from ntt_aie_tpu import kyber as KY
+
+            ka = rng.integers(0, 3329, 256)
+            kb = rng.integers(0, 3329, 256)
+            kgot = np.asarray(KY.kyber_polymul(ka.astype(np.uint32),
+                                               kb.astype(np.uint32)))
+            kwant = ref.schoolbook_negacyclic(ka, kb, 3329)
+            _check("ML-KEM ring product vs schoolbook",
+                   np.array_equal(kgot.astype(np.int64), kwant), failures)
+            if args.native:
+                import tempfile
+
+                from ntt_aie_tpu import native_oracle as native
+
+                with tempfile.NamedTemporaryFile(suffix=".nttv") as tf:
+                    native.write_vectors(
+                        tf.name, "negacyclic_schoolbook", 3329, 256, 0,
+                        ka.astype(np.uint64), kgot.astype(np.uint64),
+                        b=kb.astype(np.uint64))
+                    _check("native C++ gate (nttverify, ML-KEM ring)",
+                           native.run_verify_gate(tf.name), failures)
+
         if args.native:
             # Independent native gate: dump (input, claimed) vectors and let
             # the separately-compiled C++ oracle re-derive and compare

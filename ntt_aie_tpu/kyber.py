@@ -34,11 +34,9 @@ _W, _U = F.KYBER.barrett_w, F.KYBER.barrett_u  # Barrett constants for 3329
 
 
 def _bitrev7(x: int) -> int:
-    r = 0
-    for _ in range(7):
-        r = (r << 1) | (x & 1)
-        x >>= 1
-    return r
+    from ntt_aie_tpu.twiddles import bit_reverse_indices
+
+    return int(bit_reverse_indices(128)[x])
 
 
 def _zeta_pow(e: int) -> int:

@@ -143,7 +143,8 @@ def negacyclic_polymul(a, b, psi: int, p: int) -> np.ndarray:
 
 _BIN_PATH = _NATIVE_DIR / "nttverify"
 
-_KINDS = {"forward": 0, "cyclic_polymul": 1, "negacyclic_polymul": 2}
+_KINDS = {"forward": 0, "cyclic_polymul": 1, "negacyclic_polymul": 2,
+          "negacyclic_schoolbook": 3}
 
 
 def write_vectors(path, kind: str, p: int, n: int, root: int, a, claimed,

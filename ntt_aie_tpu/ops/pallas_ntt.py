@@ -330,9 +330,12 @@ def build_fused_fourstep(
 ):
     """BOTH four-step passes in ONE kernel: the whole (n1, n2) matrix lives
     in VMEM, the transpose happens in-register, and HBM is touched exactly
-    once in and once out per transform (vs twice for the two-kernel path —
-    measured 13-15% faster at n = 2^18..2^20 on v5e; at n <= 2^16 the
-    two-kernel slab pipeline wins, see plan.py's size gate).
+    once in and once out per transform (vs twice for the two-kernel path).
+    Interleaved A/B on the shared v5e measured parity at best vs the
+    two-kernel slab pipeline (an initial +14% reading was co-tenant
+    noise), so build_plan only uses this when asked (fused=True); it may
+    win on unshared chips. VMEM bounds apply: ~12 live matrix-sized
+    temporaries must fit the 120 MB budget.
 
     Forward: [pre ⊙] DIF over n1 -> T -> ⊙ wmid -> DIF over n2 -> canon.
     Inverse: DIT over n2 -> T -> ⊙ wmid -> DIT over n1 [-> post ⊙] -> canon.

@@ -79,8 +79,15 @@ def _dev(tables: tuple) -> tuple:
     return tuple(jnp.asarray(np.ascontiguousarray(t)) for t in tables)
 
 
-def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = False) -> Plan:
-    """engine: 'auto' (pallas on TPU, xla elsewhere), 'pallas', 'xla'."""
+def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = False,
+               fused: bool = False) -> Plan:
+    """engine: 'auto' (pallas on TPU, xla elsewhere), 'pallas', 'xla'.
+
+    fused=True (pallas engine only) runs BOTH four-step passes in one
+    whole-matrix kernel (ops/pallas_ntt.build_fused_fourstep). Off by
+    default: interleaved A/B on the shared v5e measured parity at best;
+    the caller owns the VMEM bound (~12x the matrix size).
+    """
     field = config.field
     kind = resolve_kind(config.reduction, field)
 
@@ -149,13 +156,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         inv_fn = lambda a: _inv_core(a, icp1)  # noqa: E731
         inv_poly_fn = lambda a: _inv_core(a, icp1_poly)  # noqa: E731
 
-        # Single-kernel whole-transform: both passes + in-register transpose
-        # in ONE pallas_call, HBM touched once in/once out. Interleaved A/B
-        # on the (shared) v5e showed parity at best and a regression at
-        # small/large batch (an initial +14% reading was co-tenant noise),
-        # so auto-selection is OFF; the kernel stays available through
-        # ops/pallas_ntt.make_fused_fourstep and is covered by tests.
-        fused_ok = False
+        fused_ok = fused  # see build_plan docstring
         if fused_ok:
             wmid_fwd = np.ascontiguousarray(wmat.T)
 

@@ -84,3 +84,24 @@ def test_batched(rng):
         assert np.array_equal(got[i], np.asarray(K.kyber_ntt(a[i])))
     back = np.asarray(K.kyber_intt(got))
     assert np.array_equal(back, a)
+
+
+def test_mlkem_native_schoolbook_gate(tmp_path, rng):
+    """The ML-KEM ring product against the independently compiled C++
+    schoolbook oracle (CLAUDE.md: every device path gets a native gate)."""
+    from ntt_aie_tpu import native_oracle as native
+
+    a = rng.integers(0, Q, 256)
+    b = rng.integers(0, Q, 256)
+    got = np.asarray(K.kyber_polymul(a.astype(np.uint32), b.astype(np.uint32)))
+    path = tmp_path / "mlkem.nttv"
+    native.write_vectors(path, "negacyclic_schoolbook", Q, 256, 0,
+                         a.astype(np.uint64), got.astype(np.uint64),
+                         b=b.astype(np.uint64))
+    assert native.run_verify_gate(path)
+    bad = got.copy()
+    bad[0] ^= 1
+    native.write_vectors(path, "negacyclic_schoolbook", Q, 256, 0,
+                         a.astype(np.uint64), bad.astype(np.uint64),
+                         b=b.astype(np.uint64))
+    assert not native.run_verify_gate(path)

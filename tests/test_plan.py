@@ -338,8 +338,8 @@ def test_inverse_host_reference_convention_raises():
 def test_fused_fourstep_single_kernel(rng):
     """Single-kernel whole-transform (both passes + in-register transpose)
     matches the two-kernel path, forward and inverse, incl. negacyclic
-    pre/post fusion (plan auto-selects it only for 1-4 MB matrices; tested
-    here directly at a small size in interpret mode)."""
+    pre/post fusion (opt-in via build_plan(fused=True); tested here
+    directly at a small size in interpret mode)."""
     from ntt_aie_tpu.ops import pallas_ntt as PN
     from ntt_aie_tpu.plan import build_plan
 
@@ -381,3 +381,30 @@ def test_fused_fourstep_single_kernel(rng):
     got_n = np.asarray(ni(fc.reshape(n2, n1))).reshape(-1)
     want_n = ref.negacyclic_polymul(a, b, field)
     assert np.array_equal(got_n.astype(np.int64), want_n)
+
+
+def test_build_plan_fused_true_wiring(rng):
+    """The fused=True plan wiring (fwd/inv/polymul/negacyclic + batched)
+    matches the default plan, interpret mode."""
+    from ntt_aie_tpu.plan import build_plan
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=10, rows_log2=5, negacyclic=True)
+    base = build_plan(cfg, engine="xla")
+    fz = build_plan(cfg, engine="pallas", interpret=True, fused=True)
+    a = rng.integers(0, field.p, cfg.n)
+    b = rng.integers(0, field.p, cfg.n)
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+    bj = jnp.asarray(b, dtype=jnp.uint32)
+    assert np.array_equal(np.asarray(fz.fwd(aj)), np.asarray(base.fwd(aj)))
+    assert np.array_equal(np.asarray(fz.inv(base.fwd(aj))), a)
+    assert np.array_equal(np.asarray(fz.polymul(aj, bj)),
+                          np.asarray(base.polymul(aj, bj)))
+    assert np.array_equal(np.asarray(fz.negacyclic_polymul(aj, bj)),
+                          np.asarray(base.negacyclic_polymul(aj, bj)))
+    bat = fz.make_batched(2)
+    ab = jnp.asarray(np.stack([a, a]), dtype=jnp.uint32)
+    bb = jnp.asarray(np.stack([b, b]), dtype=jnp.uint32)
+    assert np.array_equal(np.asarray(bat["fwd"](ab))[0], np.asarray(base.fwd(aj)))
+    assert np.array_equal(np.asarray(bat["negacyclic_polymul"](ab, bb))[0],
+                          np.asarray(base.negacyclic_polymul(aj, bj)))
