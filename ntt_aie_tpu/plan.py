@@ -358,6 +358,61 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         inv_fn = lambda a: _inv_core(a, scale_dev)  # noqa: E731
         inv_poly_fn = lambda a: _inv_core(a, scale_poly_dev)  # noqa: E731
 
+        # Batch-to-lanes layout: a (B, n) batch transposes to (n, B) so the
+        # batch rides the 128-lane axis and butterflies ride sublanes —
+        # full SIMD for small crypto-sized transforms (a vmap of the (n, 1)
+        # path would waste 127 of 128 lanes). The serving shape for
+        # Kyber/Dilithium-sized rings.
+        def batched_builder(B):
+            def fwd_b(a):
+                x = _u32cast(a).reshape(B, n).T           # (n, B)
+                x = S.dif_stages(x, tw1, p, red)
+                return red.canonicalize(x).T
+
+            def inv_b_core(a, sc):
+                x = _u32cast(a).reshape(B, n).T
+                x = S.dit_stages(x, itw1, p, red)
+                x = red.mul_const(x, *(s.reshape(1, 1) for s in sc))
+                return red.canonicalize(x).T
+
+            def polymul_b(a, b):
+                fa = fwd_b(a)
+                fb = fwd_b(b)
+                if kind == "montgomery":
+                    from ntt_aie_tpu.ops import modops as M
+
+                    fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
+                else:
+                    fc = red.mul_data(fa, fb)
+                return inv_b_core(fc, scale_poly_dev)
+
+            out = {
+                "fwd": jax.jit(fwd_b),
+                "inv": jax.jit(lambda a: inv_b_core(a, scale_dev)),
+                "polymul": jax.jit(polymul_b),
+            }
+            if config.negacyclic:
+                psi_b = _dev(red.prepare_table(
+                    tw.negacyclic_psi_powers(field, n).reshape(-1, 1)))
+                psi_inv_b = _dev(red.prepare_table(
+                    tw.negacyclic_psi_powers(field, n, inverse=True).reshape(-1, 1)))
+
+                def nega_b(a, b):
+                    ta = red.canonicalize(red.mul_const(
+                        _u32cast(a).reshape(B, n).T, *psi_b))
+                    tb = red.canonicalize(red.mul_const(
+                        _u32cast(b).reshape(B, n).T, *psi_b))
+                    tc = polymul_b(ta.T, tb.T)
+                    return red.canonicalize(
+                        red.mul_const(tc.reshape(B, n).T, *psi_inv_b)).T
+
+                out["negacyclic_polymul"] = jax.jit(nega_b)
+            if config.ordering == "natural":
+                raw_fwd_fb, raw_inv_fb = out["fwd"], out["inv"]
+                out["fwd"] = lambda a: jnp.take(raw_fwd_fb(a), perm, axis=1)
+                out["inv"] = lambda a: raw_inv_fb(jnp.take(a, inv_perm, axis=1))
+            return out
+
     # _fwd/_inv bind the *spectral-order* callables now, before the ordering
     # wrappers rebind fwd_fn below: pointwise products are order-agnostic, so
     # polymul always runs in spectral order regardless of config.ordering.

@@ -408,3 +408,27 @@ def test_build_plan_fused_true_wiring(rng):
     assert np.array_equal(np.asarray(bat["fwd"](ab))[0], np.asarray(base.fwd(aj)))
     assert np.array_equal(np.asarray(bat["negacyclic_polymul"](ab, bb))[0],
                           np.asarray(base.negacyclic_polymul(aj, bj)))
+
+
+def test_flat_batched_lane_layout(rng):
+    """Small-n batched path (batch-to-lanes): matches per-vector results,
+    all ops, including the ML-DSA ring (dilithium negacyclic at n=256)."""
+    field = F.DILITHIUM
+    cfg = NTTConfig(field=field, log_n=8, rows_log2=8, negacyclic=True)
+    ctx = NTTContext(cfg)
+    B = 3
+    a = rng.integers(0, field.p, (B, cfg.n))
+    b = rng.integers(0, field.p, (B, cfg.n))
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+    bj = jnp.asarray(b, dtype=jnp.uint32)
+    bat = ctx.plan.make_batched(B)
+    got_f = np.asarray(bat["fwd"](aj))
+    for i in range(B):
+        assert np.array_equal(got_f[i], np.asarray(ctx.forward(aj[i])))
+    assert np.array_equal(np.asarray(bat["inv"](jnp.asarray(got_f))), a)
+    got_p = np.asarray(bat["polymul"](aj, bj))
+    assert np.array_equal(got_p[0].astype(np.int64),
+                          ref.cyclic_polymul(a[0], b[0], field))
+    got_n = np.asarray(bat["negacyclic_polymul"](aj, bj))
+    want_n = ref.negacyclic_polymul(a[1], b[1], field)  # the ML-DSA ring
+    assert np.array_equal(got_n[1].astype(np.int64), want_n)
