@@ -24,6 +24,12 @@ class NativeOracleUnavailable(RuntimeError):
 
 
 def _build() -> None:
+    if not (_NATIVE_DIR / "Makefile").exists():
+        raise NativeOracleUnavailable(
+            f"native sources not found at {_NATIVE_DIR} — the C++ oracle "
+            "ships with the repository checkout, not the installed wheel; "
+            "run from a git clone (or skip --native gates)"
+        )
     subprocess.run(
         ["make", "-C", str(_NATIVE_DIR)],
         check=True,

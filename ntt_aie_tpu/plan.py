@@ -106,6 +106,15 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
     red = make_reduction(kind, field)
     n1, n2 = config.split
 
+    def _pointwise(fa, fb):
+        """Spectral pointwise product (Montgomery leaves a stray R^-1 that
+        the iwmat_poly tables fold away in the poly-inverse)."""
+        if kind == "montgomery":
+            from ntt_aie_tpu.ops import modops as M
+
+            return M.mont_mul(fa, fb, p, field.mont_neg_pinv)
+        return red.mul_data(fa, fb)
+
     # ---- host-side tables ----
     if n2 > 1:
         tabs = tw.fourstep_tables(field, n1, n2)
@@ -188,12 +197,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                 def polymul_b(a, b, _fwd=fwd_b):
                     fa = _fwd(a)
                     fb = _fwd(b)
-                    if kind == "montgomery":
-                        from ntt_aie_tpu.ops import modops as M
-
-                        fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
-                    else:
-                        fc = red.mul_data(fa, fb)
+                    fc = _pointwise(fa, fb)
                     return fipb(_u32cast(fc).reshape(ish)).reshape(B, n)
 
                 out = {"polymul": polymul_b}
@@ -208,12 +212,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                     def nega_b(a, b):
                         fa = nfb(_u32cast(a).reshape(bsh)).reshape(B, n)
                         fb = nfb(_u32cast(b).reshape(bsh)).reshape(B, n)
-                        if kind == "montgomery":
-                            from ntt_aie_tpu.ops import modops as M
-
-                            fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
-                        else:
-                            fc = red.mul_data(fa, fb)
+                        fc = _pointwise(fa, fb)
                         return nib(_u32cast(fc).reshape(ish)).reshape(B, n)
 
                     out["negacyclic_polymul"] = nega_b
@@ -256,12 +255,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             def polymul_b(a, b, _fwd=fwd_b):
                 fa = _fwd(a)
                 fb = _fwd(b)
-                if kind == "montgomery":
-                    from ntt_aie_tpu.ops import modops as M
-
-                    fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
-                else:
-                    fc = red.mul_data(fa, fb)
+                fc = _pointwise(fa, fb)
                 return inv_b_core(fc, icp1pb)
 
             # NOT jit-wrapped: on the tunneled axon backend an explicit jit
@@ -289,12 +283,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                     sh = (n1, n2) if B == 1 else (B, n1, n2)
                     fa = cp2b(ncp1b(_u32cast(a).reshape(sh))).reshape(B, n)
                     fb = cp2b(ncp1b(_u32cast(b).reshape(sh))).reshape(B, n)
-                    if kind == "montgomery":
-                        from ntt_aie_tpu.ops import modops as M
-
-                        fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
-                    else:
-                        fc = red.mul_data(fa, fb)
+                    fc = _pointwise(fa, fb)
                     ish = (n2, n1) if B == 1 else (B, n2, n1)
                     return nicp1b(icp2b(fc.reshape(ish))).reshape(B, n)
 
@@ -364,33 +353,29 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         # path would waste 127 of 128 lanes). The serving shape for
         # Kyber/Dilithium-sized rings.
         def batched_builder(B):
-            def fwd_b(a):
-                x = _u32cast(a).reshape(B, n).T           # (n, B)
-                x = S.dif_stages(x, tw1, p, red)
-                return red.canonicalize(x).T
+            # (n, B)-domain cores; the public callables transpose at the
+            # boundary and are jitted as COMPOSED functions (including the
+            # ordering wrapper) so each call is one dispatch.
+            def fwd_cols(x):               # (n, B) -> (n, B)
+                return red.canonicalize(S.dif_stages(x, tw1, p, red))
 
-            def inv_b_core(a, sc):
-                x = _u32cast(a).reshape(B, n).T
+            def inv_cols(x, sc):           # (n, B) -> (n, B)
                 x = S.dit_stages(x, itw1, p, red)
                 x = red.mul_const(x, *(s.reshape(1, 1) for s in sc))
-                return red.canonicalize(x).T
+                return red.canonicalize(x)
+
+            def fwd_b(a):
+                return fwd_cols(_u32cast(a).reshape(B, n).T).T
+
+            def inv_b(a):
+                return inv_cols(_u32cast(a).reshape(B, n).T, scale_dev).T
 
             def polymul_b(a, b):
-                fa = fwd_b(a)
-                fb = fwd_b(b)
-                if kind == "montgomery":
-                    from ntt_aie_tpu.ops import modops as M
+                fa = fwd_cols(_u32cast(a).reshape(B, n).T)
+                fb = fwd_cols(_u32cast(b).reshape(B, n).T)
+                return inv_cols(_pointwise(fa, fb), scale_poly_dev).T
 
-                    fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
-                else:
-                    fc = red.mul_data(fa, fb)
-                return inv_b_core(fc, scale_poly_dev)
-
-            out = {
-                "fwd": jax.jit(fwd_b),
-                "inv": jax.jit(lambda a: inv_b_core(a, scale_dev)),
-                "polymul": jax.jit(polymul_b),
-            }
+            out = {"polymul": jax.jit(polymul_b)}
             if config.negacyclic:
                 psi_b = _dev(red.prepare_table(
                     tw.negacyclic_psi_powers(field, n).reshape(-1, 1)))
@@ -402,15 +387,18 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                         _u32cast(a).reshape(B, n).T, *psi_b))
                     tb = red.canonicalize(red.mul_const(
                         _u32cast(b).reshape(B, n).T, *psi_b))
-                    tc = polymul_b(ta.T, tb.T)
+                    tc = inv_cols(_pointwise(fwd_cols(ta), fwd_cols(tb)),
+                                  scale_poly_dev)
                     return red.canonicalize(
-                        red.mul_const(tc.reshape(B, n).T, *psi_inv_b)).T
+                        red.mul_const(tc, *psi_inv_b)).T
 
                 out["negacyclic_polymul"] = jax.jit(nega_b)
             if config.ordering == "natural":
-                raw_fwd_fb, raw_inv_fb = out["fwd"], out["inv"]
-                out["fwd"] = lambda a: jnp.take(raw_fwd_fb(a), perm, axis=1)
-                out["inv"] = lambda a: raw_inv_fb(jnp.take(a, inv_perm, axis=1))
+                raw_fwd_fb, raw_inv_fb = fwd_b, inv_b
+                fwd_b = lambda a: jnp.take(raw_fwd_fb(a), perm, axis=1)  # noqa: E731
+                inv_b = lambda a: raw_inv_fb(jnp.take(a, inv_perm, axis=1))  # noqa: E731
+            out["fwd"] = jax.jit(fwd_b)
+            out["inv"] = jax.jit(inv_b)
             return out
 
     # _fwd/_inv bind the *spectral-order* callables now, before the ordering
@@ -419,12 +407,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
     def polymul_fn(a, b, _fwd=fwd_fn, _inv=inv_poly_fn):
         fa = _fwd(a)
         fb = _fwd(b)
-        if kind == "montgomery":
-            from ntt_aie_tpu.ops import modops as M
-
-            fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)  # a*b*R^-1
-        else:
-            fc = red.mul_data(fa, fb)
+        fc = _pointwise(fa, fb)
         return _inv(fc)
 
     spectral_to_natural = pos
@@ -476,12 +459,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         def nega_fn(a, b):
             fa = _nega_fwd(a)
             fb = _nega_fwd(b)
-            if kind == "montgomery":
-                from ntt_aie_tpu.ops import modops as M
-
-                fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
-            else:
-                fc = red.mul_data(fa, fb)
+            fc = _pointwise(fa, fb)
             return _nega_inv(fc)
 
     elif config.negacyclic:

@@ -432,3 +432,26 @@ def test_flat_batched_lane_layout(rng):
     got_n = np.asarray(bat["negacyclic_polymul"](aj, bj))
     want_n = ref.negacyclic_polymul(a[1], b[1], field)  # the ML-DSA ring
     assert np.array_equal(got_n[1].astype(np.int64), want_n)
+
+
+def test_flat_batched_honors_natural_ordering(rng):
+    """Regression (4th review): the flat batch-to-lanes path must honor
+    ordering='natural' like every other make_batched variant."""
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=9, rows_log2=9, ordering="natural")
+    ctx = NTTContext(cfg)
+    a = rng.integers(0, field.p, (2, cfg.n))
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+    bat = ctx.plan.make_batched(2)
+    got = np.asarray(bat["fwd"](aj))
+    assert np.array_equal(got[0].astype(np.int64), ref.ntt_forward(a[0], field))
+    assert np.array_equal(np.asarray(bat["inv"](jnp.asarray(got))), a)
+
+
+def test_default_split_flat_small_n():
+    """Small single-shard configs auto-select the flat (batch-to-lanes)
+    split; sharded and large configs keep the four-step split."""
+    assert NTTConfig(field=F.P_469762049, log_n=10).split == (1 << 10, 1)
+    assert NTTConfig(field=F.P_469762049, log_n=16).split == (1 << 16, 1)
+    assert NTTConfig(field=F.P_469762049, log_n=18).split[1] > 1
+    assert NTTConfig(field=F.P_469762049, log_n=12, num_shards=4).split[1] > 1
