@@ -85,10 +85,12 @@ class NTTConfig:
             r = self.rows_log2
         else:
             shards_log2 = self.num_shards.bit_length() - 1
-            if shards_log2 == 0 and self.log_n <= 16:
-                # Flat (N2 = 1, plain DIF): measured 1.5-3x faster than the
-                # four-step split for batched transforms through n = 2^16
-                # on v5e (crossover ~2^17; the batch rides the lane axis).
+            # Flat (N2 = 1, plain DIF): measured 1.5-3x faster than the
+            # four-step split for batched transforms on v5e (the batch
+            # rides the lane axis). Crossover ~2^17 for 32-bit primes,
+            # ~2^15 for Goldilocks limb pairs (heavier per-stage mul).
+            flat_max = 14 if self.field.p >= (1 << 32) else 16
+            if shards_log2 == 0 and self.log_n <= flat_max:
                 r = self.log_n
             else:
                 # Square-ish, biased so N2 (the lane/shard axis) >= 128

@@ -455,3 +455,8 @@ def test_default_split_flat_small_n():
     assert NTTConfig(field=F.P_469762049, log_n=16).split == (1 << 16, 1)
     assert NTTConfig(field=F.P_469762049, log_n=18).split[1] > 1
     assert NTTConfig(field=F.P_469762049, log_n=12, num_shards=4).split[1] > 1
+
+
+def test_default_split_flat_cutoff_field_aware():
+    assert NTTConfig(field=F.GOLDILOCKS, log_n=14).split == (1 << 14, 1)
+    assert NTTConfig(field=F.GOLDILOCKS, log_n=16).split[1] > 1
