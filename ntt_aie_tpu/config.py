@@ -34,7 +34,12 @@ class NTTConfig:
         feeds the natural-order power table through the reference's
         increasing-stride network for bit-exact parity (SURVEY.md §0).
       rows_log2: log2 of N1 in the N = N1 x N2 four-step split. None =
-        choose automatically (square-ish, lane-aligned).
+        choose automatically: FLAT (N2 = 1, batch rides lanes) for
+        single-shard transforms up to 2^16 (2^14 for 64-bit fields),
+        square-ish lane-aligned four-step above / when sharded. The
+        automatic split — and therefore the 'bitrev' spectral output
+        order — may change between versions as the heuristic is retuned;
+        pin rows_log2 when persisting spectral-domain data.
       mesh_axis: name of the mesh axis coefficients are sharded over.
       num_shards: number of devices for the distributed plan (1 = local).
       negacyclic: plan psi-scaling tables for X^n + 1 arithmetic.

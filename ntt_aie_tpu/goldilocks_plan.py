@@ -220,6 +220,24 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
             h, l = M.gl_mul(h, l, sh.reshape(1, 1), sl.reshape(1, 1))
             return h.reshape(n), l.reshape(n)
 
+        def make_batched_cores(B):
+            """Batch-to-lanes: (B, n) limb batches transpose to (n, B) so
+            the batch rides the 128-lane axis through the stage loops
+            (mirrors plan.py's flat batched layout)."""
+
+            def fwd_b(h, l):
+                oh, ol = gl_dif_stages(h.reshape(B, n).T, l.reshape(B, n).T,
+                                       *tw1)
+                return oh.T, ol.T
+
+            def inv_b(h, l):
+                oh, ol = gl_dit_stages(h.reshape(B, n).T, l.reshape(B, n).T,
+                                       *itw1)
+                oh, ol = M.gl_mul(oh, ol, sh.reshape(1, 1), sl.reshape(1, 1))
+                return oh.T, ol.T
+
+            return jax.jit(fwd_b), jax.jit(inv_b)
+
     # _fwd/_inv bind the spectral-order callables now, before the natural-
     # ordering wrappers rebind fwd_core/inv_core below (pointwise products
     # are order-agnostic; see plan.py polymul_fn).

@@ -98,6 +98,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
 
         return build_goldilocks_plan(config, engine=engine, interpret=interpret)
 
+    requested_engine = engine
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
@@ -105,6 +106,15 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
     p = field.p
     red = make_reduction(kind, field)
     n1, n2 = config.split
+    if n2 == 1 and requested_engine == "pallas":
+        import warnings
+
+        warnings.warn(
+            f"engine='pallas' requested but split {config.split} is flat "
+            "(no pallas kernels on the flat path; measured faster via XLA "
+            "batch-to-lanes). Set rows_log2 for a four-step pallas plan.",
+            stacklevel=2,
+        )
 
     def _pointwise(fa, fb):
         """Spectral pointwise product (Montgomery leaves a stray R^-1 that

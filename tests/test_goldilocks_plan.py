@@ -171,3 +171,19 @@ def test_gl_fused_recursion_interpret(rng):
         ph, pl_ = plain(h, l)
         assert np.array_equal(np.asarray(fh), np.asarray(ph)), d
         assert np.array_equal(np.asarray(fl), np.asarray(pl_)), d
+
+
+def test_gl_flat_batched_lane_layout(rng):
+    """Flat (default small-n) GL batched path uses batch-to-lanes limbs and
+    matches per-vector results."""
+    cfg = NTTConfig(field=GL, log_n=9)  # default: flat split
+    assert cfg.split == (1 << 9, 1)
+    plan = NTTContext(cfg).plan
+    B = 3
+    a = np.stack([_rand(rng, cfg.n) for _ in range(B)])
+    bat = plan.make_batched(B)
+    got = np.asarray(bat["fwd"](a))
+    for i in range(B):
+        assert np.array_equal(got[i], np.asarray(plan.fwd(a[i])))
+    back = np.asarray(bat["inv"](got))
+    assert np.array_equal(back, a)

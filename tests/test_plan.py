@@ -74,7 +74,7 @@ def test_polymul_cyclic(field, rng):
 
 def test_polymul_large_fourstep(rng):
     field = F.P_2013265921
-    cfg = NTTConfig(field=field, log_n=12)
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=5)  # force four-step
     ctx = NTTContext(cfg)
     n = cfg.n
     a = rng.integers(0, field.p, n)
@@ -86,7 +86,7 @@ def test_polymul_large_fourstep(rng):
 
 def test_negacyclic_polymul_device(rng):
     field = F.P_2013265921
-    cfg = NTTConfig(field=field, log_n=10, negacyclic=True)
+    cfg = NTTConfig(field=field, log_n=10, rows_log2=5, negacyclic=True)  # four-step
     ctx = NTTContext(cfg)
     n = cfg.n
     a = rng.integers(0, field.p, n)
@@ -168,7 +168,7 @@ def test_harvey_auto_selected():
 
 def test_harvey_polymul(rng):
     field = F.P_469762049
-    cfg = NTTConfig(field=field, log_n=11)
+    cfg = NTTConfig(field=field, log_n=11, rows_log2=5)  # force four-step
     ctx = NTTContext(cfg)
     a = rng.integers(0, field.p, cfg.n)
     b = rng.integers(0, field.p, cfg.n)
@@ -199,7 +199,7 @@ def test_polymul_with_natural_ordering(rng):
     """Regression: the ordering wrapper must not leak into polymul's
     internal transforms (pointwise products run in spectral order)."""
     field = F.P_2013265921
-    cfg = NTTConfig(field=field, log_n=10, ordering="natural")
+    cfg = NTTConfig(field=field, log_n=10, rows_log2=4, ordering="natural")
     ctx = NTTContext(cfg)
     a = rng.integers(0, field.p, cfg.n)
     b = rng.integers(0, field.p, cfg.n)
@@ -228,7 +228,7 @@ def test_host_oracle_matches_device_default_ordering(rng):
     with the device plan's spectral order for the default 'bitrev'
     ordering with an (n1, n2) split — not plain DIF bit reversal."""
     field = F.P_2013265921
-    cfg = NTTConfig(field=field, log_n=10)  # split (8, 128)
+    cfg = NTTConfig(field=field, log_n=10, rows_log2=3)  # split (8, 128)
     ctx = NTTContext(cfg)
     a = rng.integers(0, field.p, cfg.n)
     dev = np.asarray(ctx.forward(jnp.asarray(a, dtype=jnp.uint32)))
