@@ -140,6 +140,32 @@ def cmd_verify(args) -> int:
                     _check("native C++ gate (nttverify, ML-KEM ring)",
                            native.run_verify_gate(tf.name), failures)
 
+        if field.p == 8380417:
+            # ML-DSA (FIPS 204) pipeline on device: complete 8-layer NTT,
+            # pointwise product, inverse — gated by the NumPy schoolbook
+            # AND (with --native) the C++ schoolbook oracle
+            from ntt_aie_tpu import dilithium as DL
+
+            da = rng.integers(0, DL.Q, 256)
+            db = rng.integers(0, DL.Q, 256)
+            dgot = np.asarray(DL.dilithium_polymul(da.astype(np.uint32),
+                                                   db.astype(np.uint32)))
+            dwant = ref.schoolbook_negacyclic(da, db, DL.Q)
+            _check("ML-DSA ring product vs schoolbook",
+                   np.array_equal(dgot.astype(np.int64), dwant), failures)
+            if args.native:
+                import tempfile
+
+                from ntt_aie_tpu import native_oracle as native
+
+                with tempfile.NamedTemporaryFile(suffix=".nttv") as tf:
+                    native.write_vectors(
+                        tf.name, "negacyclic_schoolbook", DL.Q, 256, 0,
+                        da.astype(np.uint64), dgot.astype(np.uint64),
+                        b=db.astype(np.uint64))
+                    _check("native C++ gate (nttverify, ML-DSA ring)",
+                           native.run_verify_gate(tf.name), failures)
+
         if args.native:
             # Independent native gate: dump (input, claimed) vectors and let
             # the separately-compiled C++ oracle re-derive and compare

@@ -109,6 +109,16 @@ def test_cli_verify_pass(capsys):
     assert "PASS!" in out
 
 
+def test_cli_verify_dilithium_gate(capsys):
+    """The ML-DSA (FIPS 204) ring-product gate fires for p=8380417."""
+    from ntt_aie_tpu.cli import main
+
+    assert main(["verify", "--field", "DILITHIUM", "--log-n", "10"]) == 0
+    out = capsys.readouterr().out
+    assert "ML-DSA ring product vs schoolbook" in out
+    assert "PASS!" in out
+
+
 def test_cli_verify_parity(capsys):
     from ntt_aie_tpu.cli import main
 
