@@ -119,3 +119,19 @@ def dilithium_polymul(a, b):
     """a * b in Z_8380417[X]/(X^256 + 1) via the ML-DSA pipeline."""
     return dilithium_intt(dilithium_pointwise(dilithium_ntt(a),
                                               dilithium_ntt(b)))
+
+
+def dilithium_matvec(ahat, yhat):
+    """Module-lattice matrix-vector product in the NTT domain: the ML-DSA
+    serving primitive (w = A*y in Sign / verify's A*z, FIPS 204 Algorithms
+    7-8). ``ahat``: (..., k, l, 256), ``yhat``: (..., l, 256), NTT-domain;
+    returns (..., k, 256) = sum_j ahat[..., i, j, :] * yhat[..., j, :]
+    coefficient-wise. k, l <= 8, so the sum is an unrolled add_mod chain."""
+    a = jnp.asarray(ahat, dtype=jnp.uint32)
+    y = jnp.asarray(yhat, dtype=jnp.uint32)
+    l = a.shape[-2]
+    acc = dilithium_pointwise(a[..., :, 0, :], y[..., None, 0, :])
+    for j in range(1, l):
+        acc = M.add_mod(
+            acc, dilithium_pointwise(a[..., :, j, :], y[..., None, j, :]), Q)
+    return acc

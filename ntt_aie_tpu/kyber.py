@@ -135,3 +135,20 @@ def kyber_basemul(ahat, bhat):
 def kyber_polymul(a, b):
     """a * b in Z_3329[X]/(X^256 + 1) via the ML-KEM pipeline."""
     return kyber_intt(kyber_basemul(kyber_ntt(a), kyber_ntt(b)))
+
+
+def kyber_matvec(ahat, shat):
+    """Module-lattice matrix-vector product in the NTT domain: the ML-KEM
+    serving primitive (K-PKE encrypt/decrypt, FIPS 203 Algorithms 14-15,
+    t = A*s + e shapes). ``ahat``: (..., k, l, 256), ``shat``: (..., l, 256),
+    both NTT-domain; returns (..., k, 256) = sum_j ahat[..., i, j, :] o
+    shat[..., j, :]. k, l are small (2..4) so the sum is an unrolled
+    add_mod chain; the 256-point basemuls stay batched on lanes."""
+    a = jnp.asarray(ahat, dtype=jnp.uint32)
+    s = jnp.asarray(shat, dtype=jnp.uint32)
+    l = a.shape[-2]
+    acc = kyber_basemul(a[..., :, 0, :], s[..., None, 0, :])
+    for j in range(1, l):
+        acc = M.add_mod(
+            acc, kyber_basemul(a[..., :, j, :], s[..., None, j, :]), Q)
+    return acc

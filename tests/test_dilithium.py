@@ -97,3 +97,19 @@ def test_batched(rng):
     for i in range(B):
         assert np.array_equal(got[i], np.asarray(D.dilithium_ntt(a[i])))
     assert np.array_equal(np.asarray(D.dilithium_intt(got)), a)
+
+def test_matvec_matches_schoolbook(rng):
+    """w = A*y over the module lattice (k=3, l=2): NTT-domain matvec vs
+    per-entry schoolbook negacyclic products summed in Z_q."""
+    k, l = 3, 2
+    A = rng.integers(0, Q, (k, l, 256))
+    y = rng.integers(0, Q, (l, 256))
+    Ah = np.asarray(D.dilithium_ntt(A.astype(np.uint32)))
+    yh = np.asarray(D.dilithium_ntt(y.astype(np.uint32)))
+    wh = np.asarray(D.dilithium_matvec(Ah, yh))
+    got = np.asarray(D.dilithium_intt(wh)).astype(np.int64)
+    for i in range(k):
+        want = np.zeros(256, dtype=np.int64)
+        for j in range(l):
+            want = (want + ref.schoolbook_negacyclic(A[i, j], y[j], Q)) % Q
+        assert np.array_equal(got[i], want)

@@ -105,3 +105,19 @@ def test_mlkem_native_schoolbook_gate(tmp_path, rng):
                          a.astype(np.uint64), bad.astype(np.uint64),
                          b=b.astype(np.uint64))
     assert not native.run_verify_gate(path)
+
+def test_matvec_matches_schoolbook(rng):
+    """t = A*s over the module lattice (k=l=2, the ML-KEM-512 shape):
+    NTT-domain matvec vs per-entry schoolbook products summed in Z_q."""
+    k = 2
+    A = rng.integers(0, Q, (k, k, 256))
+    s = rng.integers(0, Q, (k, 256))
+    Ah = np.asarray(K.kyber_ntt(A.astype(np.uint32)))
+    sh = np.asarray(K.kyber_ntt(s.astype(np.uint32)))
+    th = np.asarray(K.kyber_matvec(Ah, sh))
+    got = np.asarray(K.kyber_intt(th)).astype(np.int64)
+    for i in range(k):
+        want = np.zeros(256, dtype=np.int64)
+        for j in range(k):
+            want = (want + ref.schoolbook_negacyclic(A[i, j], s[j], Q)) % Q
+        assert np.array_equal(got[i], want)
