@@ -147,8 +147,15 @@ def kyber_matvec(ahat, shat):
     a = jnp.asarray(ahat, dtype=jnp.uint32)
     s = jnp.asarray(shat, dtype=jnp.uint32)
     l = a.shape[-2]
-    acc = kyber_basemul(a[..., :, 0, :], s[..., None, 0, :])
+
+    def term(j):
+        aj = a[..., :, j, :]
+        # basemul flattens batch dims, so broadcast the shared vector to
+        # the matrix-row shape explicitly
+        sj = jnp.broadcast_to(s[..., None, j, :], aj.shape)
+        return kyber_basemul(aj, sj)
+
+    acc = term(0)
     for j in range(1, l):
-        acc = M.add_mod(
-            acc, kyber_basemul(a[..., :, j, :], s[..., None, j, :]), Q)
+        acc = M.add_mod(acc, term(j), Q)
     return acc

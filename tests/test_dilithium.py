@@ -113,3 +113,14 @@ def test_matvec_matches_schoolbook(rng):
         for j in range(l):
             want = (want + ref.schoolbook_negacyclic(A[i, j], y[j], Q)) % Q
         assert np.array_equal(got[i], want)
+
+
+def test_matvec_batched_broadcast(rng):
+    B, k, l = 3, 4, 2
+    A = rng.integers(0, Q, (B, k, l, 256)).astype(np.uint32)
+    y = rng.integers(0, Q, (B, l, 256)).astype(np.uint32)
+    got = np.asarray(D.dilithium_matvec(A, y))
+    assert got.shape == (B, k, 256)
+    for b in range(B):
+        assert np.array_equal(got[b],
+                              np.asarray(D.dilithium_matvec(A[b], y[b])))

@@ -121,3 +121,15 @@ def test_matvec_matches_schoolbook(rng):
         for j in range(k):
             want = (want + ref.schoolbook_negacyclic(A[i, j], s[j], Q)) % Q
         assert np.array_equal(got[i], want)
+
+
+def test_matvec_batched_broadcast(rng):
+    """Batched A (B,k,l,256) against batched s (B,l,256): regression for
+    basemul's batch-flattening vs the shared-vector broadcast."""
+    B, k = 3, 2
+    A = rng.integers(0, Q, (B, k, k, 256)).astype(np.uint32)
+    s = rng.integers(0, Q, (B, k, 256)).astype(np.uint32)
+    got = np.asarray(K.kyber_matvec(A, s))
+    assert got.shape == (B, k, 256)
+    for b in range(B):
+        assert np.array_equal(got[b], np.asarray(K.kyber_matvec(A[b], s[b])))
