@@ -12,8 +12,9 @@ Montgomery REDC (R = 2^32) with zeta tables premultiplied into Montgomery
 form — mont_mul(standard_value, zeta*R) = standard_value * zeta
 (ops/modops.py, same machinery as the generic Montgomery plans).
 
-Layout matches kyber.py: coefficients on sublanes, batch on lanes.
-All functions accept (..., 256) uint32 arrays, batched or single.
+Layer structure and layout are shared with kyber.py via ring_layers.py:
+coefficients on sublanes, batch on lanes. All functions accept
+(..., 256) uint32 arrays, batched or single.
 """
 
 from __future__ import annotations
@@ -22,43 +23,20 @@ import numpy as np
 import jax.numpy as jnp
 
 from ntt_aie_tpu import fields as F
+from ntt_aie_tpu import ring_layers as RL
 from ntt_aie_tpu.ops import modops as M
-from ntt_aie_tpu.twiddles import bit_reverse_indices
 
 Q = 8380417
 ZETA = 1753
 N = 256
 _FIELD = F.DILITHIUM
 _NEG_PINV = _FIELD.mont_neg_pinv
-_R = _FIELD.mont_r_mod_p
 _R2 = _FIELD.mont_r2_mod_p
 
-
-def _bitrev8(x: int) -> int:
-    return int(bit_reverse_indices(256)[x])
-
-
-def _to_mont(x: int) -> np.uint32:
-    return np.uint32(x * _R % Q)
-
-
-def _layer_zetas(inverse: bool = False) -> list[np.ndarray]:
-    """Per-layer per-block zeta vectors in Montgomery form. Layer L
-    (L = 0..7) has 2^L blocks of half-length len = 128 >> L; FIPS 204's
-    sequential index k gives block i the value zeta^BitRev8(2^L + i)."""
-    layers = []
-    for L in range(8):
-        blocks = 1 << L
-        vals = [F.modpow(ZETA, _bitrev8(blocks + i), Q) for i in range(blocks)]
-        if inverse:
-            vals = [F.modpow(v, Q - 2, Q) for v in vals]
-        layers.append(np.array([_to_mont(v) for v in vals], dtype=np.uint32))
-    return layers
-
-
-_ZETAS = _layer_zetas()
-_IZETAS = _layer_zetas(inverse=True)
-_N_INV_MONT = _to_mont(F.modpow(256, Q - 2, Q))
+_ZETAS = RL.layer_zeta_tables(ZETA, Q, 8, 8, post=_FIELD.to_mont)
+_IZETAS = RL.layer_zeta_tables(ZETA, Q, 8, 8, inverse=True,
+                               post=_FIELD.to_mont)
+_N_INV_MONT = np.uint32(_FIELD.to_mont(F.modpow(256, Q - 2, Q)))
 
 
 def _mulz(a, z):
@@ -66,42 +44,16 @@ def _mulz(a, z):
     return M.mont_mul(a, z, Q, _NEG_PINV)
 
 
-def _as_cols(f):
-    f = jnp.asarray(f, dtype=jnp.uint32)
-    shape = f.shape
-    return f.reshape(-1, N).T, lambda y: y.T.reshape(shape)
-
-
 def dilithium_ntt(f):
     """FIPS 204 Algorithm 41 over the last axis (length 256)."""
-    x, restore = _as_cols(f)
-    c = x.shape[1]
-    for L in range(8):
-        len_ = 128 >> L
-        blocks = 1 << L
-        xr = x.reshape(blocks, 2, len_, c)
-        u, v = xr[:, 0], xr[:, 1]
-        z = jnp.asarray(_ZETAS[L]).reshape(blocks, 1, 1)
-        t = _mulz(v, z)
-        x = jnp.stack(
-            [M.add_mod(u, t, Q), M.sub_mod(u, t, Q)], axis=1
-        ).reshape(N, c)
-    return restore(x)
+    x, restore = RL.as_cols(f, N)
+    return restore(RL.layered_fwd(x, _ZETAS, _mulz, Q))
 
 
 def dilithium_intt(fhat):
     """FIPS 204 Algorithm 42 (inverse layers in reverse, 1/256 scale)."""
-    x, restore = _as_cols(fhat)
-    c = x.shape[1]
-    for L in reversed(range(8)):
-        len_ = 128 >> L
-        blocks = 1 << L
-        xr = x.reshape(blocks, 2, len_, c)
-        u, v = xr[:, 0], xr[:, 1]
-        z = jnp.asarray(_IZETAS[L]).reshape(blocks, 1, 1)  # zeta^-1, Mont
-        new_u = M.add_mod(u, v, Q)
-        new_v = _mulz(M.sub_mod(u, v, Q), z)
-        x = jnp.stack([new_u, new_v], axis=1).reshape(N, c)
+    x, restore = RL.as_cols(fhat, N)
+    x = RL.layered_inv(x, _IZETAS, _mulz, Q)
     x = _mulz(x, jnp.full((1, 1), _N_INV_MONT, dtype=jnp.uint32))
     return restore(x)
 
@@ -126,12 +78,12 @@ def dilithium_matvec(ahat, yhat):
     serving primitive (w = A*y in Sign / verify's A*z, FIPS 204 Algorithms
     7-8). ``ahat``: (..., k, l, 256), ``yhat``: (..., l, 256), NTT-domain;
     returns (..., k, 256) = sum_j ahat[..., i, j, :] * yhat[..., j, :]
-    coefficient-wise. k, l <= 8, so the sum is an unrolled add_mod chain."""
+    coefficient-wise. The R^-1 factor from raw mont_mul commutes with the
+    sum, so terms accumulate unfixed and the R^2 fixup happens once on the
+    accumulator (l+1 muls per coefficient instead of 2l)."""
     a = jnp.asarray(ahat, dtype=jnp.uint32)
     y = jnp.asarray(yhat, dtype=jnp.uint32)
-    l = a.shape[-2]
-    acc = dilithium_pointwise(a[..., :, 0, :], y[..., None, 0, :])
-    for j in range(1, l):
-        acc = M.add_mod(
-            acc, dilithium_pointwise(a[..., :, j, :], y[..., None, j, :]), Q)
-    return acc
+    raw = RL.matvec_terms(
+        a, y, lambda u, v: M.mont_mul(u, v, Q, _NEG_PINV),
+        lambda u, v: M.add_mod(u, v, Q))
+    return M.mont_mul(raw, np.uint32(_R2), Q, _NEG_PINV)

@@ -11,12 +11,14 @@ ML-KEM arithmetic, batched on device:
 - ``kyber_basemul`` — MultiplyNTTs: 128 products of degree-1 polynomials
   mod (X^2 - zeta^(2*BitRev7(i)+1)) (Algorithms 11-12),
 - ``kyber_polymul`` — intt(basemul(ntt(a), ntt(b))): the negacyclic
-  product in the ML-KEM ring.
+  product in the ML-KEM ring,
+- ``kyber_matvec`` — NTT-domain module-lattice A*s (the K-PKE shape).
 
-Data layout: coefficients ride the sublane axis, the batch rides lanes —
-(256, B) matrices through the same Barrett mask/select arithmetic as the
-reference's kernels (ops/modops.barrett_mul, p = 3329 fits its bounds).
-All functions accept (..., 256) uint32 arrays, batched or single.
+Layer structure and layout are shared with dilithium.py via
+ring_layers.py: coefficients ride the sublane axis, the batch rides lanes
+— (256, B) matrices through the same Barrett mask/select arithmetic as
+the reference's kernels (ops/modops.barrett_mul, p = 3329 fits its
+bounds). All functions accept (..., 256) uint32 arrays, batched or single.
 """
 
 from __future__ import annotations
@@ -25,46 +27,21 @@ import numpy as np
 import jax.numpy as jnp
 
 from ntt_aie_tpu import fields as F
+from ntt_aie_tpu import ring_layers as RL
 from ntt_aie_tpu.ops import modops as M
+from ntt_aie_tpu.twiddles import bit_reverse_indices
 
 Q = 3329
 ZETA = 17
 N = 256
 _W, _U = F.KYBER.barrett_w, F.KYBER.barrett_u  # Barrett constants for 3329
 
-
-def _bitrev7(x: int) -> int:
-    from ntt_aie_tpu.twiddles import bit_reverse_indices
-
-    return int(bit_reverse_indices(128)[x])
-
-
-def _zeta_pow(e: int) -> int:
-    return F.modpow(ZETA, e, Q)
-
-
-def _layer_zetas(inverse: bool = False) -> list[np.ndarray]:
-    """Per-layer zeta vectors, one entry per block: layer L has
-    blocks = 2^(L+1)/2 = 2^L blocks (len = 128 >> L), zeta index
-    k = blocks + i (FIPS 203's sequential k), value zeta^BitRev7(k)."""
-    layers = []
-    for L in range(7):
-        blocks = 1 << L
-        vec = np.array(
-            [_zeta_pow(_bitrev7(blocks + i)) for i in range(blocks)],
-            dtype=np.uint32,
-        )
-        if inverse:
-            vec = np.array([F.modpow(int(v), Q - 2, Q) for v in vec],
-                           dtype=np.uint32)
-        layers.append(vec)
-    return layers
-
-
-_ZETAS = _layer_zetas()
-_IZETAS = _layer_zetas(inverse=True)
+_ZETAS = RL.layer_zeta_tables(ZETA, Q, 7, 7)
+_IZETAS = RL.layer_zeta_tables(ZETA, Q, 7, 7, inverse=True)
+_REV7 = bit_reverse_indices(128)
 _GAMMAS = np.array(
-    [_zeta_pow(2 * _bitrev7(i) + 1) for i in range(128)], dtype=np.uint32
+    [F.modpow(ZETA, 2 * int(_REV7[i]) + 1, Q) for i in range(128)],
+    dtype=np.uint32,
 )
 _N_INV = F.modpow(128, Q - 2, Q)  # 3303
 
@@ -73,46 +50,18 @@ def _mul(a, b):
     return M.barrett_mul(a, b, Q, _W, _U)
 
 
-def _as_cols(f):
-    """(..., 256) -> (256, B) uint32 and a restorer."""
-    f = jnp.asarray(f, dtype=jnp.uint32)
-    shape = f.shape
-    x = f.reshape(-1, N).T  # (256, B)
-    return x, lambda y: y.T.reshape(shape)
-
-
 def kyber_ntt(f):
     """FIPS 203 Algorithm 9 over the last axis (length 256)."""
-    x, restore = _as_cols(f)
-    c = x.shape[1]
-    for L in range(7):
-        len_ = 128 >> L
-        blocks = 1 << L
-        xr = x.reshape(blocks, 2, len_, c)
-        u, v = xr[:, 0], xr[:, 1]
-        z = jnp.asarray(_ZETAS[L]).reshape(blocks, 1, 1)
-        t = _mul(v, z)
-        x = jnp.stack(
-            [M.add_mod(u, t, Q), M.sub_mod(u, t, Q)], axis=1
-        ).reshape(N, c)
-    return restore(x)
+    x, restore = RL.as_cols(f, N)
+    return restore(RL.layered_fwd(x, _ZETAS, _mul, Q))
 
 
 def kyber_intt(fhat):
     """FIPS 203 Algorithm 10 (inverse layers in reverse, GS butterflies,
     final 1/128 scale)."""
-    x, restore = _as_cols(fhat)
-    c = x.shape[1]
-    for L in reversed(range(7)):
-        len_ = 128 >> L
-        blocks = 1 << L
-        xr = x.reshape(blocks, 2, len_, c)
-        u, v = xr[:, 0], xr[:, 1]
-        z = jnp.asarray(_IZETAS[L]).reshape(blocks, 1, 1)  # zeta^-1
-        new_u = M.add_mod(u, v, Q)
-        new_v = _mul(M.sub_mod(u, v, Q), z)  # GS: zeta^-1 * (u - v)
-        x = jnp.stack([new_u, new_v], axis=1).reshape(N, c)
-    x = _mul(x, jnp.full((1, 1), _N_INV, dtype=jnp.uint32))
+    x, restore = RL.as_cols(fhat, N)
+    x = RL.layered_inv(x, _IZETAS, _mul, Q)
+    x = _mul(x, jnp.full((1, 1), np.uint32(_N_INV), dtype=jnp.uint32))
     return restore(x)
 
 
@@ -140,22 +89,13 @@ def kyber_polymul(a, b):
 def kyber_matvec(ahat, shat):
     """Module-lattice matrix-vector product in the NTT domain: the ML-KEM
     serving primitive (K-PKE encrypt/decrypt, FIPS 203 Algorithms 14-15,
-    t = A*s + e shapes). ``ahat``: (..., k, l, 256), ``shat``: (..., l, 256),
-    both NTT-domain; returns (..., k, 256) = sum_j ahat[..., i, j, :] o
-    shat[..., j, :]. k, l are small (2..4) so the sum is an unrolled
-    add_mod chain; the 256-point basemuls stay batched on lanes."""
+    t = A*s + e shapes). ``ahat``: (..., k, l, 256), ``shat``: (..., l,
+    256), both NTT-domain; returns (..., k, 256) = sum_j ahat[..., i, j,
+    :] o shat[..., j, :]. Either side may carry extra batch dims (shared
+    per-key A against a batch of vectors, or batched A). k, l are small
+    (2..4) so the sum is an unrolled add_mod chain; the 256-point basemuls
+    stay batched on lanes."""
     a = jnp.asarray(ahat, dtype=jnp.uint32)
     s = jnp.asarray(shat, dtype=jnp.uint32)
-    l = a.shape[-2]
-
-    def term(j):
-        aj = a[..., :, j, :]
-        # basemul flattens batch dims, so broadcast the shared vector to
-        # the matrix-row shape explicitly
-        sj = jnp.broadcast_to(s[..., None, j, :], aj.shape)
-        return kyber_basemul(aj, sj)
-
-    acc = term(0)
-    for j in range(1, l):
-        acc = M.add_mod(acc, term(j), Q)
-    return acc
+    return RL.matvec_terms(a, s, kyber_basemul,
+                           lambda u, v: M.add_mod(u, v, Q))

@@ -82,6 +82,8 @@ def load(build: bool = True) -> ctypes.CDLL:
     lib.ntt_cyclic_polymul_u64.argtypes = [pu64, pu64, pu64, i64, u64, u64]
     lib.ntt_negacyclic_polymul_u64.restype = None
     lib.ntt_negacyclic_polymul_u64.argtypes = [pu64, pu64, pu64, i64, u64, u64]
+    lib.ntt_schoolbook_negacyclic_u64.restype = None
+    lib.ntt_schoolbook_negacyclic_u64.argtypes = [pu64, pu64, pu64, i64, u64]
 
     _lib = lib
     return lib
@@ -142,6 +144,17 @@ def negacyclic_polymul(a, b, psi: int, p: int) -> np.ndarray:
     b = np.ascontiguousarray(b, dtype=np.uint64)
     c = np.empty_like(a)
     lib.ntt_negacyclic_polymul_u64(a, b, c, len(a), psi, p)
+    return c
+
+
+def schoolbook_negacyclic(a, b, p: int) -> np.ndarray:
+    """Direct O(n^2) schoolbook product mod (X^n + 1, p) — no NTT in the
+    oracle path at all (native/oracle.cc ntt_schoolbook_negacyclic_u64)."""
+    lib = load()
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    c = np.empty_like(a)
+    lib.ntt_schoolbook_negacyclic_u64(a, b, c, len(a), p)
     return c
 
 

@@ -124,3 +124,32 @@ def test_matvec_batched_broadcast(rng):
     for b in range(B):
         assert np.array_equal(got[b],
                               np.asarray(D.dilithium_matvec(A[b], y[b])))
+
+
+def test_matvec_shared_matrix_batched_vectors(rng):
+    """A fixed per key, a batch of y vectors (the Sign serving shape)."""
+    B, k, l = 3, 3, 2
+    A = rng.integers(0, Q, (k, l, 256)).astype(np.uint32)
+    y = rng.integers(0, Q, (B, l, 256)).astype(np.uint32)
+    got = np.asarray(D.dilithium_matvec(A, y))
+    assert got.shape == (B, k, 256)
+    for b in range(B):
+        assert np.array_equal(got[b], np.asarray(D.dilithium_matvec(A, y[b])))
+
+
+def test_matvec_native_gate(rng):
+    """Matvec summation vs the native C++ schoolbook oracle."""
+    from ntt_aie_tpu import native_oracle as native
+
+    k, l = 2, 2
+    A = rng.integers(0, Q, (k, l, 256))
+    y = rng.integers(0, Q, (l, 256))
+    got = np.asarray(D.dilithium_intt(D.dilithium_matvec(
+        D.dilithium_ntt(A.astype(np.uint32)),
+        D.dilithium_ntt(y.astype(np.uint32)))))
+    for i in range(k):
+        want = np.zeros(256, dtype=np.uint64)
+        for j in range(l):
+            want = (want + native.schoolbook_negacyclic(
+                A[i, j].astype(np.uint64), y[j].astype(np.uint64), Q)) % Q
+        assert np.array_equal(got[i].astype(np.uint64), want)

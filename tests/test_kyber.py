@@ -133,3 +133,33 @@ def test_matvec_batched_broadcast(rng):
     assert got.shape == (B, k, 256)
     for b in range(B):
         assert np.array_equal(got[b], np.asarray(K.kyber_matvec(A[b], s[b])))
+
+
+def test_matvec_shared_matrix_batched_vectors(rng):
+    """A fixed per key, a batch of s vectors — the K-PKE serving shape
+    (regression: this shape used to raise on the kyber side only)."""
+    B, k = 3, 2
+    A = rng.integers(0, Q, (k, k, 256)).astype(np.uint32)
+    s = rng.integers(0, Q, (B, k, 256)).astype(np.uint32)
+    got = np.asarray(K.kyber_matvec(A, s))
+    assert got.shape == (B, k, 256)
+    for b in range(B):
+        assert np.array_equal(got[b], np.asarray(K.kyber_matvec(A, s[b])))
+
+
+def test_matvec_native_gate(rng):
+    """Matvec summation vs the native C++ schoolbook oracle: each term
+    product comes from C++, the sum is exact host arithmetic."""
+    from ntt_aie_tpu import native_oracle as native
+
+    k = 2
+    A = rng.integers(0, Q, (k, k, 256))
+    s = rng.integers(0, Q, (k, 256))
+    got = np.asarray(K.kyber_intt(K.kyber_matvec(
+        K.kyber_ntt(A.astype(np.uint32)), K.kyber_ntt(s.astype(np.uint32)))))
+    for i in range(k):
+        want = np.zeros(256, dtype=np.uint64)
+        for j in range(k):
+            want = (want + native.schoolbook_negacyclic(
+                A[i, j].astype(np.uint64), s[j].astype(np.uint64), Q)) % Q
+        assert np.array_equal(got[i].astype(np.uint64), want)
