@@ -56,23 +56,29 @@ int main(int argc, char** argv) {
     char magic[4];
     uint32_t version = 0, kind = 0;
     uint64_t p = 0, n = 0, root = 0;
+    // n capped at 2^30: rejects corrupt headers in the 'bad header' path
+    // instead of letting the vector constructors throw std::bad_alloc.
     if (!read_exact(f, magic, 4) || memcmp(magic, "NTTV", 4) != 0 ||
         !read_exact(f, &version, 4) || version != 1 ||
         !read_exact(f, &kind, 4) || kind > 3 || !read_exact(f, &p, 8) ||
         !read_exact(f, &n, 8) || !read_exact(f, &root, 8) || n == 0 ||
-        (n & (n - 1)) != 0) {
+        (n & (n - 1)) != 0 || n > (1ull << 30)) {
         fprintf(stderr, "bad header\n");
         fclose(f);
         return 2;
     }
     std::vector<uint64_t> a(n), b, claimed(n), want(n);
-    if (!read_exact(f, a.data(), n * 8)) return 2;
-    if (kind >= 1) {
+    bool payload_ok = read_exact(f, a.data(), n * 8);
+    if (payload_ok && kind >= 1) {
         b.resize(n);
-        if (!read_exact(f, b.data(), n * 8)) return 2;
+        payload_ok = read_exact(f, b.data(), n * 8);
     }
-    if (!read_exact(f, claimed.data(), n * 8)) return 2;
+    payload_ok = payload_ok && read_exact(f, claimed.data(), n * 8);
     fclose(f);
+    if (!payload_ok) {
+        fprintf(stderr, "truncated payload\n");
+        return 2;
+    }
 
     if (kind == 0) {
         want = a;

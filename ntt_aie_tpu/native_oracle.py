@@ -43,13 +43,16 @@ def load(build: bool = True) -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
-        if not build:
-            raise NativeOracleUnavailable(f"{_LIB_PATH} not built")
+    if build:
+        # Always run make (dependency-checked, so a no-op when current):
+        # guarantees the loaded library matches the checked-out sources.
         try:
             _build()
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            raise NativeOracleUnavailable(f"native build failed: {e}") from e
+            if not _LIB_PATH.exists():
+                raise NativeOracleUnavailable(f"native build failed: {e}") from e
+    if not _LIB_PATH.exists():
+        raise NativeOracleUnavailable(f"{_LIB_PATH} not built")
     lib = ctypes.CDLL(str(_LIB_PATH))
 
     u64, u32, i64 = ctypes.c_uint64, ctypes.c_uint32, ctypes.c_int64
@@ -183,9 +186,10 @@ def write_vectors(path, kind: str, p: int, n: int, root: int, a, claimed,
 
 def run_verify_gate(path) -> bool:
     """Run the independently-compiled native gate on a vector file.
-    Returns True on PASS; builds the binary on demand."""
-    if not _BIN_PATH.exists():
-        _build()
+    Returns True on PASS. Always invokes make (the Makefile's dependency
+    check makes this cheap) so a stale binary can never serve as the
+    'independent' gate after oracle.cc/verify_main.cc edits."""
+    _build()
     res = subprocess.run([str(_BIN_PATH), str(path)], capture_output=True,
                          text=True)
     if res.returncode != 0:  # surface the binary's mismatch report

@@ -45,7 +45,7 @@ def stream_transform(fn: Callable, inputs: Iterable, *, prefetch: int = 2,
     it = iter(inputs)
     for x in it:
         q.append(launch(x))
-        if len(q) <= prefetch:
+        if len(q) < prefetch:  # strictly <: at most `prefetch` in flight
             continue
         out = q.popleft()
         yield jax.tree_util.tree_map(np.asarray, out) if to_host else out
