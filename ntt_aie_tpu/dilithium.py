@@ -73,6 +73,17 @@ def dilithium_polymul(a, b):
                                               dilithium_ntt(b)))
 
 
+def make_pipeline():
+    """Jitted ML-DSA pipeline bundle (ring_layers.jit_pipeline): THE
+    documented way to run these functions hot — the bare dilithium_*
+    functions dispatch eagerly and are ~150x slower through a tunneled
+    backend (DESIGN.md §6). The ML-DSA-65 serving step is
+    make_pipeline()["make_serving_step"](A_hat) with A_hat (k=6, l=5,
+    256) applied to (B, 5, 256) batches."""
+    return RL.jit_pipeline(dilithium_ntt, dilithium_intt, dilithium_matvec,
+                           dilithium_polymul, dilithium_pointwise)
+
+
 def dilithium_matvec(ahat, yhat):
     """Module-lattice matrix-vector product in the NTT domain: the ML-DSA
     serving primitive (w = A*y in Sign / verify's A*z, FIPS 204 Algorithms

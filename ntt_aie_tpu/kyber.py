@@ -86,6 +86,18 @@ def kyber_polymul(a, b):
     return kyber_intt(kyber_basemul(kyber_ntt(a), kyber_ntt(b)))
 
 
+def make_pipeline():
+    """Jitted ML-KEM pipeline bundle (ring_layers.jit_pipeline): THE
+    documented way to run these functions hot. The bare kyber_* functions
+    are traceable building blocks; eager per-op dispatch through a
+    tunneled backend is ~150x slower (DESIGN.md §6). Shapes follow the
+    module functions; e.g. the ML-KEM-768 serving step is
+    make_pipeline()["make_serving_step"](A_hat) with A_hat (k=3, l=3, 256)
+    applied to (B, 3, 256) batches."""
+    return RL.jit_pipeline(kyber_ntt, kyber_intt, kyber_matvec,
+                           kyber_polymul, kyber_basemul)
+
+
 def kyber_matvec(ahat, shat):
     """Module-lattice matrix-vector product in the NTT domain: the ML-KEM
     serving primitive (K-PKE encrypt/decrypt, FIPS 203 Algorithms 14-15,

@@ -79,6 +79,42 @@ def layered_inv(x, layer_izetas, mulz, q: int):
     return x
 
 
+def jit_pipeline(ntt, intt, matvec, polymul, pointwise):
+    """Jitted serving-pipeline bundle — the plan-builder convention
+    (plan.py returns jitted callables; these modules' bare functions are
+    plain traceable fns and dispatch ~50 tiny ops per call when run
+    eagerly, a measured ~150x slowdown through the tunnel; DESIGN.md §6).
+    Every recorded throughput number goes through this builder.
+
+    Returns a dict of jitted callables:
+      ntt / intt / polymul / pointwise / matvec — the module functions,
+        compiled (cached per input shape; any batch shape works).
+      serving_step(A, x) — intt(matvec(ntt(A), ntt(x))): the full
+        module-lattice product with fresh A per call.
+      make_serving_step(A_hat) — closure over a FIXED NTT-domain matrix
+        (the serving shape: per-key A reused across a batch of vectors);
+        returns a jitted x -> intt(matvec(A_hat, ntt(x))).
+    """
+    import jax
+
+    def serving_step(A, x):
+        return intt(matvec(ntt(A), ntt(x)))
+
+    def make_serving_step(A_hat):
+        A_hat = jnp.asarray(A_hat, dtype=jnp.uint32)
+        return jax.jit(lambda x: intt(matvec(A_hat, ntt(x))))
+
+    return {
+        "ntt": jax.jit(ntt),
+        "intt": jax.jit(intt),
+        "polymul": jax.jit(polymul),
+        "pointwise": jax.jit(pointwise),
+        "matvec": jax.jit(matvec),
+        "serving_step": jax.jit(serving_step),
+        "make_serving_step": make_serving_step,
+    }
+
+
 def matvec_terms(ahat, xhat, pointwise, add_mod_q):
     """sum_j pointwise(ahat[..., :, j, :], xhat[..., j, :]) — the
     module-lattice matvec skeleton. Broadcasts the shared vector against

@@ -153,3 +153,27 @@ def test_matvec_native_gate(rng):
             want = (want + native.schoolbook_negacyclic(
                 A[i, j].astype(np.uint64), y[j].astype(np.uint64), Q)) % Q
         assert np.array_equal(got[i].astype(np.uint64), want)
+
+
+def test_make_pipeline_matches_module_fns(rng):
+    """The jitted pipeline bundle is bit-exact with the bare module
+    functions, including the fixed-A serving form."""
+    pipe = D.make_pipeline()
+    k, l = 3, 2
+    A = rng.integers(0, Q, (4, k, l, 256)).astype(np.uint32)
+    y = rng.integers(0, Q, (4, l, 256)).astype(np.uint32)
+    a = rng.integers(0, Q, 256).astype(np.uint32)
+    b = rng.integers(0, Q, 256).astype(np.uint32)
+
+    assert np.array_equal(np.asarray(pipe["ntt"](a)),
+                          np.asarray(D.dilithium_ntt(a)))
+    assert np.array_equal(np.asarray(pipe["polymul"](a, b)),
+                          np.asarray(D.dilithium_polymul(a, b)))
+    want = np.asarray(D.dilithium_intt(D.dilithium_matvec(
+        D.dilithium_ntt(A), D.dilithium_ntt(y))))
+    assert np.array_equal(np.asarray(pipe["serving_step"](A, y)), want)
+    step = pipe["make_serving_step"](pipe["ntt"](A[0]))
+    got = np.asarray(step(y))
+    ref_fixed = np.asarray(D.dilithium_intt(D.dilithium_matvec(
+        D.dilithium_ntt(A[0]), D.dilithium_ntt(y))))
+    assert np.array_equal(got, ref_fixed)

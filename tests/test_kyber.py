@@ -163,3 +163,29 @@ def test_matvec_native_gate(rng):
             want = (want + native.schoolbook_negacyclic(
                 A[i, j].astype(np.uint64), s[j].astype(np.uint64), Q)) % Q
         assert np.array_equal(got[i].astype(np.uint64), want)
+
+
+def test_make_pipeline_matches_module_fns(rng):
+    """The jitted pipeline bundle (the documented hot path) is bit-exact
+    with the bare module functions, including the fixed-A serving form."""
+    pipe = K.make_pipeline()
+    k = 2
+    A = rng.integers(0, Q, (4, k, k, 256)).astype(np.uint32)
+    s = rng.integers(0, Q, (4, k, 256)).astype(np.uint32)
+    a = rng.integers(0, Q, 256).astype(np.uint32)
+    b = rng.integers(0, Q, 256).astype(np.uint32)
+
+    assert np.array_equal(np.asarray(pipe["ntt"](a)), np.asarray(K.kyber_ntt(a)))
+    assert np.array_equal(np.asarray(pipe["intt"](a)), np.asarray(K.kyber_intt(a)))
+    assert np.array_equal(np.asarray(pipe["polymul"](a, b)),
+                          np.asarray(K.kyber_polymul(a, b)))
+    want = np.asarray(K.kyber_intt(K.kyber_matvec(K.kyber_ntt(A),
+                                                  K.kyber_ntt(s))))
+    assert np.array_equal(np.asarray(pipe["serving_step"](A, s)), want)
+    # fixed-A serving: one key's matrix against a batch of vectors
+    A_hat = pipe["ntt"](A[0])
+    step = pipe["make_serving_step"](A_hat)
+    got = np.asarray(step(s))
+    ref_fixed = np.asarray(K.kyber_intt(K.kyber_matvec(K.kyber_ntt(A[0]),
+                                                       K.kyber_ntt(s))))
+    assert np.array_equal(got, ref_fixed)
