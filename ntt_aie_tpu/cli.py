@@ -221,9 +221,12 @@ def cmd_bench(args) -> int:
         fn = batched[args.op]
         transforms_per_call = args.batch
     res = time_device(fn, a, iters=args.iters, repeats=args.repeats)
+    measured = None
+    if args.calibrate:
+        measured = roofline.measure_peak()["measured_hbm_gbps"]
     rep = roofline.efficiency_report(
         res["us_per_iter"] / transforms_per_call * 1e-6, cfg.n,
-        itemsize=8 if big else 4)
+        itemsize=8 if big else 4, measured_peak_gbps=measured)
     rep.update(engine=plan.engine, reduction=plan.reduction,
                batch=args.batch, op=args.op)
     del rep["hbm_bytes"]
@@ -242,10 +245,14 @@ def cmd_sweep(args) -> int:
 
 
 def cmd_trace(args) -> int:
+    import os
+
     import jax.numpy as jnp
 
     from ntt_aie_tpu.plan import build_plan
-    from ntt_aie_tpu.profiling.trace import capture_trace, summarize_trace
+    from ntt_aie_tpu.profiling.trace import (
+        capture_trace, marker_pair_times, summarize_trace,
+    )
 
     field = _field(args.field)
     cfg = NTTConfig(field=field, log_n=args.log_n)
@@ -254,8 +261,37 @@ def cmd_trace(args) -> int:
     a = jnp.asarray(rng.integers(0, min(field.p, 1 << 32), cfg.n), dtype=jnp.uint32)
     d = capture_trace(plan.fwd, a, trace_dir=args.out)
     print(f"trace written to {d}")
-    for row in summarize_trace(d):
+    rows = summarize_trace(d)
+    method = "profiler"
+    if not rows:
+        # The profiler saw no device events (tunneled backends may only
+        # expose the host side) — fall back to marker-pair chains, the
+        # reference's event0/event1 metric done with readback fences.
+        print("no device events in profiler trace; falling back to "
+              "marker-pair dispatch chains")
+        rows = marker_pair_times({
+            "forward_ntt": (plan.fwd, a),
+            "inverse_ntt": (plan.inv, plan.fwd(a)),
+        }, iters=args.iters)
+        method = "marker_pairs"
+    for row in rows:
         print(f"  {row['total_us']:10.2f} us  {row['op']}")
+    if args.summary_out:
+        import jax
+
+        payload = {
+            "method": method,
+            "field": field.name,
+            "log_n": args.log_n,
+            "engine": plan.engine,
+            "device_kind": jax.devices()[0].device_kind,
+            "backend": jax.default_backend(),
+            "ops": rows,
+        }
+        os.makedirs(os.path.dirname(args.summary_out) or ".", exist_ok=True)
+        with open(args.summary_out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"summary written to {args.summary_out}")
     return 0
 
 
@@ -265,7 +301,8 @@ def cmd_scaling(args) -> int:
     counts = [int(x) for x in args.devices.split(",")]
     rows = run_scaling(_field(args.field), args.log_n, counts,
                        mode=args.mode, engine=args.engine, batch=args.batch,
-                       iters=args.iters)
+                       iters=args.iters, overlap_chunks=args.overlap_chunks,
+                       topology=args.topology)
     print(json.dumps(rows))
     return 0
 
@@ -303,6 +340,9 @@ def main(argv=None) -> int:
     pb.add_argument("--repeats", type=int, default=5)
     pb.add_argument("--engine", default="auto")
     pb.add_argument("--op", default="fwd", choices=["fwd", "inv", "polymul"])
+    pb.add_argument("--calibrate", action="store_true",
+                    help="measure this chip's streaming HBM peak and report "
+                         "efficiency against it (honest on shared chips)")
     pb.set_defaults(fn=cmd_bench)
 
     ps = sub.add_parser("sweep")
@@ -318,7 +358,11 @@ def main(argv=None) -> int:
     pt.add_argument("--field", default="P_469762049")
     pt.add_argument("--log-n", type=int, default=18)
     pt.add_argument("--engine", default="auto")
+    pt.add_argument("--iters", type=int, default=20)
     pt.add_argument("--out", default=None)
+    pt.add_argument("--summary-out", default=None,
+                    help="write the per-op summary JSON here "
+                         "(e.g. profile/trace/trace_logn20.json)")
     pt.set_defaults(fn=cmd_trace)
 
     pc = sub.add_parser("scaling")
@@ -329,6 +373,13 @@ def main(argv=None) -> int:
     pc.add_argument("--engine", default="xla")
     pc.add_argument("--batch", type=int, default=4)
     pc.add_argument("--iters", type=int, default=5)
+    pc.add_argument("--overlap-chunks", type=int, default=1,
+                    help="chunk the four-step transpose collective to "
+                         "overlap it with local compute")
+    pc.add_argument("--topology", default="fourstep",
+                    choices=["fourstep", "pairwise"],
+                    help="'pairwise' times the reference's per-stage "
+                         "exchange topology for comparison")
     pc.set_defaults(fn=cmd_scaling)
 
     pp = sub.add_parser("plot")

@@ -61,12 +61,59 @@ def device_peaks(device_kind: Optional[str] = None) -> dict:
     return {"device_kind": device_kind, "hbm_gbps": hbm, "bf16_tflops": tflops}
 
 
+_measured_peak_cache: Optional[dict] = None
+
+
+def measure_peak(*, mb: int = 256, iters: int = 10, repeats: int = 5,
+                 cache: bool = True) -> dict:
+    """Calibrated HBM peak: a streaming read+write benchmark on THIS chip,
+    timed with the same readback-fence chain methodology as every other
+    number (utils/timing.py). On shared/partitioned hardware the
+    spec-sheet peak overstates what any kernel can reach (DESIGN.md §1
+    measured ~550 GB/s marginal vs the 819 GB/s v5e spec), so efficiency
+    vs spec would understate a kernel by ~1.5x and mislead an optimization
+    ladder. Returns {"measured_hbm_gbps", "buffer_mb", "us_per_pass"}.
+
+    The probe is x -> x + 1 on an (mb MB) uint32 array: one HBM read and
+    one write per pass, no reuse, the same traffic pattern as a fused NTT
+    pass. Cached per process (cache=False to re-measure)."""
+    global _measured_peak_cache
+    if cache and _measured_peak_cache is not None and \
+            _measured_peak_cache["buffer_mb"] == mb:
+        return _measured_peak_cache
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ntt_aie_tpu.utils.timing import time_device
+
+    n = mb * 1024 * 1024 // 4
+    x = jnp.zeros((n,), jnp.uint32)
+    step = jax.jit(lambda v: v + np.uint32(1))
+    res = time_device(step, x, iters=iters, repeats=repeats)
+    t = res["us_per_iter"] * 1e-6
+    out = {
+        "measured_hbm_gbps": 2 * n * 4 / t / 1e9,
+        "buffer_mb": mb,
+        "us_per_pass": res["us_per_iter"],
+    }
+    if cache:
+        _measured_peak_cache = out
+    return out
+
+
 def efficiency_report(seconds_per_transform: float, n: int, *,
                       device_kind: Optional[str] = None,
-                      passes: int = 2, itemsize: int = 4) -> dict:
+                      passes: int = 2, itemsize: int = 4,
+                      measured_peak_gbps: Optional[float] = None) -> dict:
     """Everything the reference's three plots derive, as one dict:
     throughput, butterfly rate, model GOPS (the 5.5 model), achieved HBM
-    bandwidth, and efficiency vs the HBM roofline when the peak is known."""
+    bandwidth, and efficiency vs the HBM roofline when the peak is known.
+
+    Two efficiency denominators are reported when available:
+    ``hbm_efficiency`` vs the spec-sheet peak (comparable across
+    machines) and ``hbm_efficiency_measured`` vs a calibrated
+    measure_peak() number (honest on shared/partitioned chips)."""
     t = seconds_per_transform
     rep = {
         "n": n,
@@ -81,4 +128,7 @@ def efficiency_report(seconds_per_transform: float, n: int, *,
     rep.update(peaks)
     if peaks["hbm_gbps"]:
         rep["hbm_efficiency"] = rep["achieved_gbps"] / peaks["hbm_gbps"]
+    if measured_peak_gbps:
+        rep["measured_hbm_gbps"] = measured_peak_gbps
+        rep["hbm_efficiency_measured"] = rep["achieved_gbps"] / measured_peak_gbps
     return rep

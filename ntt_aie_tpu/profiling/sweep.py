@@ -7,7 +7,12 @@ each (log_n, batch) cell builds a plan, times the batched forward transform
 on device (chained-iteration methodology, utils/timing.py), and writes
 
 - one raw-runs CSV per cell (reference file format: one µs value per line),
-- one summary_{field}.csv with derived throughput/roofline columns.
+- one dummy_{field}.csv dispatch-overhead baseline (the reference's
+  empty-kernel dummy.csv, profile/plot_exectime.py:36-41 — absent from its
+  tree; here it is generated with every sweep),
+- one summary_{field}.csv with derived throughput/roofline columns,
+  including net-of-dispatch time and efficiency against BOTH the
+  spec-sheet peak and a calibrated measured peak (roofline.measure_peak).
 """
 
 from __future__ import annotations
@@ -30,13 +35,44 @@ def run_sweep(field, log_ns: Iterable[int], batches: Iterable[int] = (1,), *,
 
     Returns one row dict per cell; writes CSVs when out_dir is given.
     """
+    import jax
     import jax.numpy as jnp
 
     from ntt_aie_tpu.plan import build_plan
-    from ntt_aie_tpu.utils.timing import time_device
+    from ntt_aie_tpu.utils.timing import time_device, time_host_dispatch
 
     rows = []
     rng = np.random.default_rng(0)
+
+    # --- dispatch-overhead baseline (the reference's empty-kernel
+    # dummy.csv, profile/plot_exectime.py:36-41): an identity-sized
+    # dispatch timed with BOTH methodologies, so summary rows can separate
+    # transport/dispatch from kernel time at small n. ---
+    ident = jax.jit(lambda v: v + np.uint32(1))
+    dummy_x = jnp.zeros((8, 128), jnp.uint32)
+    dres = time_device(ident, dummy_x, iters=iters, repeats=repeats)
+    dhost = time_host_dispatch(ident, dummy_x)
+    dispatch_chain_us = dres["us_per_iter"]      # per-op cost inside a chain
+    dispatch_e2e_us = dhost["us_trimmed_mean"]   # one dispatch, host clock
+    if verbose:
+        print(f"dispatch baseline: {dispatch_chain_us:.1f} us/op chained, "
+              f"{dispatch_e2e_us:.1f} us host E2E")
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, f"dummy_{field.name}.csv"), "w") as f:
+            for v in dhost["runs_us"]:
+                f.write(f"{v}\n")
+
+    # Calibrated HBM peak for the honest efficiency denominator
+    # (spec peaks overstate shared/partitioned chips; DESIGN.md §1).
+    try:
+        peak = roofline.measure_peak(iters=iters, repeats=repeats)
+        measured_gbps = peak["measured_hbm_gbps"]
+        if verbose:
+            print(f"measured HBM peak: {measured_gbps:.0f} GB/s "
+                  f"({peak['buffer_mb']} MB streaming read+write)")
+    except Exception:
+        measured_gbps = None
     for log_n in log_ns:
         n = 1 << log_n
         cfg = NTTConfig(field=field, log_n=log_n, reduction=reduction)
@@ -56,8 +92,14 @@ def run_sweep(field, log_ns: Iterable[int], batches: Iterable[int] = (1,), *,
                 a = jnp.asarray(vals, dtype=jnp.uint32)
             res = time_device(fwd, a, iters=iters, repeats=repeats)
             us_per_ntt = res["us_per_iter"] / batch
+            # net of the chained dispatch baseline: kernel-only time, the
+            # reference's E2E-minus-dummy subtraction done on our chain
+            # methodology (meaningful at small n where dispatch dominates)
+            net_us_per_ntt = max(res["us_per_iter"] - dispatch_chain_us,
+                                 1e-3) / batch
             rep = roofline.efficiency_report(us_per_ntt * 1e-6, n,
-                                             itemsize=8 if big else 4)
+                                             itemsize=8 if big else 4,
+                                             measured_peak_gbps=measured_gbps)
             row = {
                 "field": field.name,
                 "log_n": log_n,
@@ -65,11 +107,15 @@ def run_sweep(field, log_ns: Iterable[int], batches: Iterable[int] = (1,), *,
                 "engine": plan.engine,
                 "reduction": plan.reduction,
                 "us_per_ntt": round(us_per_ntt, 4),
+                "net_us_per_ntt": round(net_us_per_ntt, 4),
+                "dispatch_us": round(dispatch_chain_us, 4),
                 "ntts_per_sec": round(rep["transforms_per_sec"], 1),
                 "butterflies_per_sec": rep["butterflies_per_sec"],
                 "model_gops": round(rep["model_gops"], 2),
                 "achieved_gbps": round(rep["achieved_gbps"], 2),
                 "hbm_efficiency": round(rep.get("hbm_efficiency") or 0.0, 4),
+                "hbm_efficiency_measured": round(
+                    rep.get("hbm_efficiency_measured") or 0.0, 4),
                 "runs_us": res["runs_us"],
             }
             rows.append(row)

@@ -10,9 +10,13 @@ trace through jax.profiler/XProf, so the rebuild is thin:
   brackets a region so its ops group under one label in the trace viewer.
 - ``capture_trace`` — run a callable under jax.profiler.trace and return the
   artifact directory (TensorBoard xplane; open with xprof/tensorboard).
-- ``summarize_xplane`` — offline decode (the parse_trace.py analog): read
-  the .xplane.pb back and reduce to per-op total/self durations. Gated on
-  tensorboard_plugin_profile being importable.
+- ``summarize_trace`` — offline decode (the parse_trace.py analog): read
+  the captured Chrome-JSON trace back and reduce to per-op device-time
+  totals.
+- ``marker_pair_times`` — fallback kernel-time measurement when the
+  profiler cannot see through a tunneled backend: per-kernel dependent
+  dispatch chains with readback fences (utils/timing.py methodology),
+  reported in the same per-op rows as summarize_trace.
 """
 
 from __future__ import annotations
@@ -65,6 +69,33 @@ def find_chrome_trace(trace_dir: str) -> Optional[str]:
         glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
     )
     return hits[-1] if hits else None
+
+
+def marker_pair_times(fns: dict, *, iters: int = 20,
+                      repeats: int = 3) -> list[dict]:
+    """Fallback kernel-time measurement for backends where the profiler
+    cannot observe device execution (e.g. a tunneled TPU): per-kernel
+    dependent dispatch chains with readback fences — the trustworthy
+    equivalent of the reference's event0/event1 marker pairs
+    (profile/plot_kerneltime.py:25-37) on this platform; see
+    utils/timing.py for why block_until_ready is not a fence here.
+
+    fns: {label: (callable, example_input)} with shape-preserving
+    callables. Returns rows shaped like summarize_trace's output:
+    [{"op", "total_us", "count", "us_per_call"}].
+    """
+    from ntt_aie_tpu.utils.timing import time_device
+
+    rows = []
+    for label, (fn, x) in fns.items():
+        res = time_device(fn, x, iters=iters, repeats=repeats)
+        rows.append({
+            "op": label,
+            "us_per_call": res["us_per_iter"],
+            "total_us": res["us_per_iter"] * iters,
+            "count": iters,
+        })
+    return rows
 
 
 def summarize_trace(trace_dir: str, top: int = 20) -> list[dict]:
