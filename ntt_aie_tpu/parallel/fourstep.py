@@ -67,6 +67,7 @@ def build_distributed_plan(
     engine: str = "auto",
     interpret: bool = False,
     dp_axis: str | None = None,
+    overlap_chunks: int = 1,
 ) -> DistributedPlan:
     """Distributed plan over `mesh`'s `config.mesh_axis`.
 
@@ -80,6 +81,21 @@ def build_distributed_plan(
     With dp_axis set (2D mesh), inputs carry a leading batch dim:
     (B, n1, n2) sharded P(dp, None, x) — data parallelism over transforms
     composed with coefficient sharding within each transform.
+
+    overlap_chunks = C > 1 splits the transpose collective into C
+    independent all_to_alls chunked over the n1 axis so the collective
+    rides the ICI *while* local butterfly passes run (SURVEY.md §7 hard
+    part 4; the TPU analog of the reference's depth-2 FIFO overlap,
+    src/aie2.py:28). Forward: chunk k's pass-2 column NTTs start as soon
+    as chunk k lands, while chunk k+1 is in flight (consumer-side
+    overlap). Inverse: chunk k's collective flies while pass-2 of chunk
+    k+1 is computed (producer-side overlap). Chunks are formed over each
+    device's *target* row set with a static strided regroup on the send
+    side, so the result layout — and every output bit — is identical to
+    the monolithic path (regression-tested). Exposed collective time
+    drops from 100% to ~1/C once XLA's async scheduler hides the rest.
+    Requires n1 % (D * C) == 0; only the 1D (dp_axis=None) path chunks —
+    the batched path keeps one collective per transform.
     """
     field = config.field
     kind = resolve_kind(config.reduction, field)
@@ -93,6 +109,14 @@ def build_distributed_plan(
         raise ValueError(f"n2={n2} must divide by mesh axis size {D}")
     if n1 % D:
         raise ValueError(f"n1={n1} must divide by mesh axis size {D} (for the transpose)")
+    C = overlap_chunks if dp_axis is None else 1
+    if C < 1:
+        raise ValueError("overlap_chunks must be >= 1")
+    w1 = n1 // (D * C)
+    if C > 1 and w1 * D * C != n1:
+        raise ValueError(
+            f"n1={n1} must divide by D*overlap_chunks={D * C} for chunked overlap"
+        )
 
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -134,11 +158,13 @@ def build_distributed_plan(
     if engine == "pallas":
         from ntt_aie_tpu.ops import pallas_ntt as PN
 
+        # Pass-2 engines run per overlap chunk: w1 = (n1/D)/C lanes each
+        # (the full n1/D when C == 1).
         lcp1 = PN.build_colpass(n1=n1, n2=n2 // D, red=red, direction="dif",
                                 twiddle_pos="post", interpret=interpret)
-        lcp2 = PN.build_colpass(n1=n2, n2=n1 // D, red=red, direction="dif",
+        lcp2 = PN.build_colpass(n1=n2, n2=w1, red=red, direction="dif",
                                 canonicalize=True, interpret=interpret)
-        licp2 = PN.build_colpass(n1=n2, n2=n1 // D, red=red, direction="dit",
+        licp2 = PN.build_colpass(n1=n2, n2=w1, red=red, direction="dit",
                                  interpret=interpret)
         licp1 = PN.build_colpass(n1=n1, n2=n2 // D, red=red, direction="dit",
                                  twiddle_pos="pre", canonicalize=True, interpret=interpret)
@@ -184,17 +210,47 @@ def build_distributed_plan(
         def fwd_body(x, *wml):
             # x: local (n1, n2/D); wml: local wmat slices
             y = local_pass1(x, wml)
-            # all_to_all transpose: (n1, n2/D) -> (n1/D, n2), then local T
-            y = jax.lax.all_to_all(y, ax, split_axis=0, concat_axis=1, tiled=True)
-            y = y.T  # (n2, n1/D), local
-            return local_pass2(y)
+            if C == 1:
+                # one monolithic all_to_all: (n1, n2/D) -> (n1/D, n2)
+                y = jax.lax.all_to_all(y, ax, split_axis=0, concat_axis=1,
+                                       tiled=True)
+                return local_pass2(y.T)
+            # Chunked overlap: regroup rows by (dest device, chunk) and
+            # issue one independent all_to_all per chunk — pass-2 column
+            # NTTs on chunk k have no data dependence on chunk k+1's
+            # collective, so XLA's async scheduler overlaps them. Chunk c
+            # carries every device's target rows d*(n1/D) + c*w1 + [0,w1),
+            # which makes the concatenated output bit-identical to C == 1.
+            yg = y.reshape(D, C, w1, n2 // D)
+            outs = []
+            for c in range(C):
+                yc = yg[:, c].reshape(D * w1, n2 // D)
+                tc = jax.lax.all_to_all(yc, ax, split_axis=0, concat_axis=1,
+                                        tiled=True)       # (w1, n2)
+                outs.append(local_pass2(tc.T))            # (n2, w1)
+            return jnp.concatenate(outs, axis=1)          # (n2, n1/D)
 
         def inv_body_core(x, *wml):
             # x: local (n2, n1/D) spectral
-            y = local_ipass2(x)
-            y = y.T  # (n1/D, n2)
-            y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=0, tiled=True)
-            return local_ipass1(y, wml)  # (n1, n2/D)
+            if C == 1:
+                y = local_ipass2(x)
+                y = y.T  # (n1/D, n2)
+                y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=0,
+                                       tiled=True)
+                return local_ipass1(y, wml)  # (n1, n2/D)
+            # Producer-side overlap: chunk k's collective flies while
+            # pass-2 (ipass2) computes chunk k+1. Received chunks are
+            # regrouped to the monolithic row order before ipass1.
+            recv = []
+            for c in range(C):
+                xc = jax.lax.slice_in_dim(x, c * w1, (c + 1) * w1, axis=1)
+                yc = local_ipass2(xc)                     # (n2, w1)
+                tc = jax.lax.all_to_all(yc.T, ax, split_axis=1,
+                                        concat_axis=0, tiled=True)
+                recv.append(tc)                           # (D*w1, n2/D)
+            z = jnp.stack(recv, axis=0)                   # (C, D*w1, n2/D)
+            z = z.reshape(C, D, w1, n2 // D).transpose(1, 0, 2, 3)
+            return local_ipass1(z.reshape(n1, n2 // D), wml)
     else:
         # batched: local blocks (B/dp, n1, n2/D); vmap the 2D local passes
         def fwd_body(x, *wml):

@@ -28,18 +28,27 @@ from ntt_aie_tpu.config import NTTConfig
 
 def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), *,
                 mode: str = "strong", engine: str = "xla", batch: int = 4,
-                iters: int = 5, repeats: int = 3, verbose: bool = True) -> list[dict]:
+                iters: int = 5, repeats: int = 3, verbose: bool = True,
+                overlap_chunks: int = 1,
+                topology: str = "fourstep") -> list[dict]:
     """Time the distributed forward NTT over meshes of increasing size.
 
     mode='strong': fixed total n = 2^log_n, sharded over D devices.
     mode='weak':   per-device shard fixed at 2^log_n columns worth of work;
                    total problem size is D * 2^log_n / ... (n2 scales by D).
+    overlap_chunks > 1 chunks the four-step transpose collective so it
+    overlaps local compute (fourstep.build_distributed_plan).
+    topology='pairwise' times the reference's scaling topology instead
+    (log2(D) ppermute exchange stages, forward only) for the
+    fourstep-vs-pairwise comparison (DESIGN.md §4).
     Returns one row per mesh size with ntts_per_sec and efficiency.
     """
     import jax
     from jax.sharding import Mesh
 
-    from ntt_aie_tpu.parallel.fourstep import build_distributed_plan
+    from ntt_aie_tpu.parallel.fourstep import (
+        build_distributed_plan, build_pairwise_plan,
+    )
     from ntt_aie_tpu.utils.timing import time_device
 
     devices = jax.devices()
@@ -58,18 +67,36 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
         cfg = NTTConfig(field=field, log_n=ln, num_shards=D,
                         rows_log2=ln // 2)
         mesh = Mesh(np.array(devices[:D]), (cfg.mesh_axis,))
-        plan = build_distributed_plan(cfg, mesh, engine=engine)
         n1, n2 = cfg.split
         a = rng.integers(0, min(field.p, 1 << 32), (batch, n1, n2))
-        xs = [plan.shard_input(a[i].reshape(-1)) for i in range(batch)]
+        if topology == "pairwise":
+            import jax.numpy as jnp
 
-        # fwd+inv roundtrip keeps the chained shape (n1, n2) stable for any
-        # split; each iteration = 2*batch transforms.
-        def step(ys):
-            return [plan.inv(plan.fwd(y)) for y in ys]
+            pw_fwd, in_sh = build_pairwise_plan(cfg, mesh, engine=engine)
+            xs = [jax.device_put(a[i].reshape(-1).astype(np.uint32), in_sh)
+                  for i in range(batch)]
+
+            def step(ys):
+                # forward-only chain (the pairwise mode has no inverse);
+                # each iteration = batch transforms
+                return [pw_fwd(y) for y in ys]
+
+            per_iter_transforms = batch
+        else:
+            chunks = overlap_chunks if n1 % (D * overlap_chunks) == 0 else 1
+            plan = build_distributed_plan(cfg, mesh, engine=engine,
+                                          overlap_chunks=chunks)
+            xs = [plan.shard_input(a[i].reshape(-1)) for i in range(batch)]
+
+            # fwd+inv roundtrip keeps the chained shape (n1, n2) stable for
+            # any split; each iteration = 2*batch transforms.
+            def step(ys):
+                return [plan.inv(plan.fwd(y)) for y in ys]
+
+            per_iter_transforms = 2 * batch
 
         res = time_device(step, xs, iters=iters, repeats=repeats)
-        us_per_ntt = res["us_per_iter"] / (2 * batch)
+        us_per_ntt = res["us_per_iter"] / per_iter_transforms
         rate = 1e6 / us_per_ntt
         if base_rate is None:
             base_rate = rate
@@ -88,6 +115,8 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
             "ntts_per_sec": round(rate, 2),
             "efficiency": round(eff, 4),
             "mode": mode,
+            "topology": topology,
+            "overlap_chunks": overlap_chunks if topology == "fourstep" else None,
         }
         rows.append(row)
         if verbose:

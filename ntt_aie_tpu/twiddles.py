@@ -164,13 +164,14 @@ def spectral_positions(n1: int, n2: int) -> np.ndarray:
     """pos such that natural[k] = flat[pos[k]] for the four-step plans'
     flat spectral output flat[c*n1 + r] = X[br2(c)*n1 + br1(r)]
     (flat path n2 == 1: plain bit reversal)."""
-    n = n1 * n2
     br1 = bit_reverse_indices(n1)
     if n2 == 1:
         return br1.astype(np.int32)
     br2 = bit_reverse_indices(n2)
-    k = np.arange(n)
-    return (br2[k // n1] * n1 + br1[k % n1]).astype(np.int32)
+    # pos[c*n1 + r] = br2[c]*n1 + br1[r]: a broadcast, not a 16M-element
+    # div/mod/gather (10x faster at the n=2^24 north-star shape).
+    return (br2[:, None].astype(np.int32) * np.int32(n1)
+            + br1[None, :].astype(np.int32)).ravel()
 
 
 def fourstep_tables(field: PrimeField, n1: int, n2: int):
