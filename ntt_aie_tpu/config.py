@@ -23,7 +23,8 @@ class NTTConfig:
     Attributes:
       field: the prime field (modulus + generator).
       log_n: log2 of the transform size.
-      reduction: 'auto' | 'barrett' | 'montgomery' | 'harvey' | 'goldilocks'.
+      reduction: 'auto' | 'barrett' | 'montgomery' | 'harvey' | 'harvey4'
+        | 'goldilocks'.
       ordering: output ordering convention of the forward transform:
         'natural'   - true DFT order (costs one gather),
         'bitrev'    - DIF-native order (free; pointwise ops still work),
@@ -56,7 +57,8 @@ class NTTConfig:
     negacyclic: bool = False
 
     def __post_init__(self):
-        if self.reduction not in ("auto", "barrett", "montgomery", "harvey", "goldilocks"):
+        if self.reduction not in ("auto", "barrett", "montgomery", "harvey",
+                                  "harvey4", "goldilocks"):
             raise ValueError(f"unknown reduction {self.reduction!r}")
         if self.ordering not in ("natural", "bitrev", "reference"):
             raise ValueError(f"unknown ordering {self.ordering!r}")
@@ -108,11 +110,16 @@ class NTTConfig:
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
         d["field"] = self.field.name or {"p": self.field.p, "g": self.field.g}
+        # The resolved split is recorded (not just rows_log2, which may be
+        # None) so persisted spectral-domain data stays interpretable even
+        # if the automatic split heuristic is retuned between versions.
+        d["resolved_split"] = list(self.split)
         return json.dumps(d)
 
     @staticmethod
     def from_json(s: str) -> "NTTConfig":
         d = json.loads(s)
+        d.pop("resolved_split", None)  # informational, not a field
         f = d.pop("field")
         field = FIELDS[f] if isinstance(f, str) else PrimeField(p=f["p"], g=f["g"])
         return NTTConfig(field=field, **d)

@@ -121,6 +121,7 @@ def build_colpass(
     batch: int = 1,
     transpose_out: bool = False,
     interpret: bool = False,
+    fuse: int = 3,
 ):
     """Returns a pallas_call fn(x, *stage_tw_cols, *[wmat tables]) -> y
     running all butterfly stages (and optionally the four-step twiddle
@@ -170,7 +171,7 @@ def build_colpass(
 
         tws = [tuple(tw_refs[s * nt + k][:] for k in range(nt))
                for s in range(logn)]
-        x = run_stages(x, tws, direction, red)
+        x = run_stages(x, tws, direction, red, fuse=fuse)
         if twiddle_pos == "post":
             wm = tuple(r[:].reshape(x.shape) for r in wmat_refs)
             x = red.mul_const(x, *wm)
@@ -281,6 +282,7 @@ def make_colpass(
     block_lanes: int | None = None,
     batch: int = 1,
     transpose_out: bool = False,
+    fuse: int = 3,
 ) -> PallasColpass:
     """Build a column pass for n1-point NTTs over an (n1, n2) matrix.
 
@@ -313,6 +315,7 @@ def make_colpass(
         block_lanes=block_lanes,
         batch=batch,
         transpose_out=transpose_out,
+        fuse=fuse,
     )
     return PallasColpass(fn, tw_cols, wmat_tables, wmat2_tables)
 
