@@ -219,7 +219,49 @@ def gl_mul(ahi, alo, bhi, blo):
     r2a, c2a = _add3_with_carry(h01, h10, l11)
     r2, c2b = _add3_with_carry(r2a, c1, C32(0))
     r3 = h11 + c2a + c2b  # < 2^32: full product < 2^128
+    return _gl_reduce128(r3, r2, r1, r0)
 
+
+def gl_mul_kara(ahi, alo, bhi, blo):
+    """(a * b) mod p via Karatsuba: 3 wide partial products (15 uint32
+    muls) instead of gl_mul's 4 (20), paying ~15 extra carry/select
+    lane-ops for the middle-term reconstruction
+    P1 = (alo+ahi)(blo+bhi) - P0 - P2 (33-bit sums handled with 1-bit
+    carry corrections). Bit-exact with gl_mul (fuzz-tested); whether the
+    mul-vs-carry trade wins is measured per hardware (DESIGN.md §5)."""
+    p0h, p0l = umul32_wide(alo, blo)
+    p2h, p2l = umul32_wide(ahi, bhi)
+    sa = alo + ahi
+    ca = sa < alo                      # carry bit of the 33-bit sum
+    sb = blo + bhi
+    cb = sb < blo
+    mh, ml = umul32_wide(sa, sb)
+    # M = (sa + ca*2^32)(sb + cb*2^32)
+    #   = mh:ml + (ca?sb + cb?sa) << 32 + (ca&cb) << 64  — 3 limbs m2:mh:ml
+    t1 = jnp.where(ca, _u32(sb), C32(0))
+    t2 = jnp.where(cb, _u32(sa), C32(0))
+    mh2, cm = _add3_with_carry(mh, t1, t2)
+    m2 = (ca & cb).astype(U32) + cm
+    # P1 = M - P0 - P2 (>= 0 mathematically; 3-limb borrows)
+    def sub3(x2, x1, x0, y1, y0):
+        z0 = x0 - y0
+        b0 = (x0 < y0).astype(U32)
+        z1 = x1 - y1 - b0
+        b1 = ((x1 < y1) | ((x1 == y1) & (b0 == 1))).astype(U32)
+        return x2 - b1, z1, z0
+
+    q2, q1, q0 = sub3(m2, mh2, ml, p0h, p0l)
+    q2, q1, q0 = sub3(q2, q1, q0, p2h, p2l)
+    # r = P2 << 64 + P1 << 32 + P0
+    r0 = p0l
+    r1, c1 = _add3_with_carry(p0h, q0, C32(0))
+    r2, c2 = _add3_with_carry(p2l, q1, c1)
+    r3 = p2h + q2 + c2
+    return _gl_reduce128(r3, r2, r1, r0)
+
+
+def _gl_reduce128(r3, r2, r1, r0):
+    """(r3:r2:r1:r0) mod p via 2^64 ≡ eps, 2^96 ≡ -1; canonical output."""
     # reduce: x ≡ (r1:r0) + r2*eps - r3  (mod p), eps = 2^32 - 1
     # step 1: t = (r1:r0) - r3  (borrow -> add p)
     tlo = r0 - r3

@@ -41,13 +41,17 @@ def build_gl_colpass(
     transpose_out: bool = False,
     interpret: bool = False,
     fuse: int | None = None,
+    mul_impl: str = "schoolbook",  # 'schoolbook' (gl_mul) | 'karatsuba'
 ):
     """pallas_call fn(xh, xl, *stage_tw_limbs, *[wmat limbs]) -> (yh, yl)
     over (n1, block_lanes) VMEM slabs, gridded over n2 // block_lanes
     (x batch). Stage twiddles: per stage a (t,1) hi and lo array; wmat:
-    (n1, n2) hi and lo."""
+    (n1, n2) hi and lo. mul_impl selects the limb product: 4-partial
+    schoolbook (gl_mul) or 3-partial Karatsuba (gl_mul_kara) — bit-exact
+    either way, measured per hardware (DESIGN.md §5)."""
     logn = n1.bit_length() - 1
     ts = _stage_shapes(n1, direction)
+    gmul = M.gl_mul if mul_impl == "schoolbook" else M.gl_mul_kara
     if block_lanes is None:
         # Two limb planes double the live temporaries vs the 32-bit kernel.
         block_lanes = max(128, min(256, (1 << 18) // max(n1, 1)))
@@ -70,7 +74,7 @@ def build_gl_colpass(
         if twiddle_pos == "pre":
             wh = wmat_refs[0][:].reshape(h.shape)
             wl = wmat_refs[1][:].reshape(h.shape)
-            h, l = M.gl_mul(h, l, wh, wl)
+            h, l = gmul(h, l, wh, wl)
         c = h.shape[1]
 
         # Fused radix-2^K stage groups (same recursion as the 32-bit kernel,
@@ -87,7 +91,7 @@ def build_gl_colpass(
             wl = vecs[0][1].reshape(1, half, tl, 1)
             sh, sl = M.gl_add(uh, ul, vh, vl)
             dh, dl = M.gl_sub(uh, ul, vh, vl)
-            mh, ml = M.gl_mul(dh, dl, wh, wl)
+            mh, ml = gmul(dh, dl, wh, wl)
             return net_dif(sh, sl, vecs[1:], tl) + net_dif(mh, ml, vecs[1:], tl)
 
         def net_dit(ah, al, vecs, tl):
@@ -101,7 +105,7 @@ def build_gl_colpass(
             for i, ((uh, ul), (vh, vl)) in enumerate(zip(u_parts, v_parts)):
                 wh = vecs[-1][0][i * tl : (i + 1) * tl].reshape(1, 1, tl, 1)
                 wl = vecs[-1][1][i * tl : (i + 1) * tl].reshape(1, 1, tl, 1)
-                wvh, wvl = M.gl_mul(vh, vl, wh, wl)
+                wvh, wvl = gmul(vh, vl, wh, wl)
                 outs_u.append(M.gl_add(uh, ul, wvh, wvl))
                 outs_v.append(M.gl_sub(uh, ul, wvh, wvl))
             return outs_u + outs_v
@@ -218,6 +222,7 @@ def make_gl_colpass(
     batch: int = 1,
     transpose_out: bool = False,
     fuse: int | None = None,
+    mul_impl: str = "schoolbook",
 ) -> GLColpass:
     from ntt_aie_tpu import twiddles as tw
     from ntt_aie_tpu.goldilocks_plan import _split_limbs
@@ -241,5 +246,6 @@ def make_gl_colpass(
         batch=batch,
         transpose_out=transpose_out,
         fuse=fuse,
+        mul_impl=mul_impl,
     )
     return GLColpass(fn, tw_limbs, wmat_limbs)

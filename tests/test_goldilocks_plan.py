@@ -187,3 +187,21 @@ def test_gl_flat_batched_lane_layout(rng):
         assert np.array_equal(got[i], np.asarray(plan.fwd(a[i])))
     back = np.asarray(bat["inv"](got))
     assert np.array_equal(back, a)
+
+
+def test_gl_colpass_karatsuba_interpret(rng):
+    """mul_impl='karatsuba' colpass == schoolbook colpass bit-exactly."""
+    from ntt_aie_tpu.ops.pallas_gl import make_gl_colpass
+    from ntt_aie_tpu.ops import modops as M
+
+    n1, n2 = 16, 8
+    v = _rand(rng, n1 * n2).reshape(n1, n2)
+    h, l = M.gl_from_u64(v)
+    for d in ("dif", "dit"):
+        kara = make_gl_colpass(GL, n1, n2, direction=d, interpret=True,
+                               mul_impl="karatsuba")
+        school = make_gl_colpass(GL, n1, n2, direction=d, interpret=True)
+        kh, kl = kara(h, l)
+        sh, sl = school(h, l)
+        assert np.array_equal(np.asarray(kh), np.asarray(sh)), d
+        assert np.array_equal(np.asarray(kl), np.asarray(sl)), d

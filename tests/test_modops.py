@@ -151,3 +151,18 @@ def test_gl_mul_matches_native(rng):
     got = M.gl_to_u64(rh, rl)
     for i in range(64):
         assert int(got[i]) == native.goldilocks_mulmod(int(a[i]), int(b[i]))
+
+
+def test_gl_mul_karatsuba_matches_schoolbook(rng):
+    """3-partial Karatsuba limb product == 4-partial schoolbook == object
+    ints, over randoms and edge values."""
+    a = np.concatenate([_edges(), _gl_rand(rng, 8192)])
+    b = np.concatenate([np.flip(_edges()), _gl_rand(rng, 8192)])
+    ah, al = M.gl_from_u64(a)
+    bh, bl = M.gl_from_u64(b)
+    kh, kl = jax.jit(M.gl_mul_kara)(ah, al, bh, bl)
+    sh, sl = jax.jit(M.gl_mul)(ah, al, bh, bl)
+    assert np.array_equal(np.asarray(kh), np.asarray(sh))
+    assert np.array_equal(np.asarray(kl), np.asarray(sl))
+    want = (a.astype(object) * b.astype(object)) % GL_P
+    assert np.array_equal(M.gl_to_u64(kh, kl).astype(object), want)

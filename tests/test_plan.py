@@ -177,6 +177,44 @@ def test_harvey_polymul(rng):
     assert np.array_equal(got.astype(np.int64), want)
 
 
+def test_harvey4_forward_roundtrip_polymul(rng):
+    """Approximate-Shoup [0,4p) lazy reduction: bit-exact vs the oracle
+    on every path, and auto-selected for p < 2^29."""
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=12, reduction="harvey4")
+    ctx = NTTContext(cfg)
+    a = rng.integers(0, field.p, cfg.n)
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+    flat = np.asarray(ctx.forward(aj))
+    assert flat.max() < field.p, "canonicalization failed"
+    pos = ctx.plan.spectral_to_natural
+    assert np.array_equal(flat[pos].astype(np.int64), ref.ntt_forward(a, field))
+    assert np.array_equal(np.asarray(ctx.inverse(jnp.asarray(flat))), a)
+    b = rng.integers(0, field.p, cfg.n)
+    got = np.asarray(ctx.polymul(aj, jnp.asarray(b, dtype=jnp.uint32)))
+    assert np.array_equal(got.astype(np.int64), ref.cyclic_polymul(a, b, field))
+    # auto preference: 5-mul harvey4 below 2^29, 6-mul harvey below 2^30
+    assert NTTContext(NTTConfig(field=field, log_n=10)).plan.reduction == "harvey4"
+
+
+def test_harvey4_mulc_domain_and_values(rng):
+    """mul_const: any x < 2^32 is legal input; output in [0, 4p) and
+    congruent to x*w mod p (the approximation error is bounded by 2p)."""
+    from ntt_aie_tpu.ops.reductions import make_reduction
+
+    field = F.P_469762049
+    p = field.p
+    red = make_reduction("harvey4", field)
+    w = rng.integers(0, p, 4096).astype(np.int64)
+    tabs = [jnp.asarray(t) for t in red.prepare_table(w)]
+    x = rng.integers(0, 1 << 32, 4096, dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(red.mul_const(jnp.asarray(x), *tabs)).astype(np.uint64)
+    assert got.max() < 4 * p
+    assert np.array_equal(got % p, (x.astype(np.uint64) * w.astype(np.uint64)) % p)
+    canon = np.asarray(red.canonicalize(jnp.asarray(got.astype(np.uint32))))
+    assert canon.max() < p
+
+
 # ---- Pallas engine (interpret mode on CPU) ----
 
 def test_pallas_engine_matches_xla(rng):
