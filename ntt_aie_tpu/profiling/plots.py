@@ -29,6 +29,10 @@ _GRID = "#e4e3df"
 
 
 def _load(summary_csv: str) -> list[dict]:
+    def _opt(row, key):
+        v = row.get(key)
+        return float(v) if v not in (None, "") else None
+
     with open(summary_csv) as f:
         return [
             {
@@ -39,6 +43,9 @@ def _load(summary_csv: str) -> list[dict]:
                 "ntts_per_sec": float(row["ntts_per_sec"]),
                 "achieved_gbps": float(row["achieved_gbps"]),
                 "hbm_efficiency": float(row["hbm_efficiency"]),
+                # optional columns (added round 2; absent in older sweeps)
+                "net_us_per_ntt": _opt(row, "net_us_per_ntt"),
+                "hbm_efficiency_measured": _opt(row, "hbm_efficiency_measured"),
             }
             for row in csv.DictReader(f)
         ]
@@ -80,8 +87,9 @@ def render_all(summary_csv: str, out_dir: str) -> list[str]:
     field = rows[0]["field"]
     written = []
 
-    def _line_fig(ykey, ylabel, title, fname, logy):
+    def _line_fig(ykey, ylabel, title, fname, logy, net_key=None):
         fig, ax = plt.subplots(figsize=(7, 4.5), dpi=150)
+        net_labeled = False
         for b, color, pts in _series_by_batch(rows):
             xs = [r["log_n"] for r in pts]
             ys = [r[ykey] for r in pts]
@@ -90,10 +98,17 @@ def render_all(summary_csv: str, out_dir: str) -> list[str]:
             ax.annotate(f"batch {b}", (xs[-1], ys[-1]), xytext=(6, 0),
                         textcoords="offset points", color=_TEXT2,
                         fontsize=8, va="center")
+            if net_key and all(r.get(net_key) is not None for r in pts):
+                # net of the identity-dispatch baseline (the reference's
+                # E2E-minus-dummy view, plot_exectime.py:36-41)
+                ax.plot(xs, [r[net_key] for r in pts], color=color,
+                        linewidth=1.2, linestyle="--", zorder=2,
+                        label="net of dispatch" if not net_labeled else None)
+                net_labeled = True
         if logy:
             ax.set_yscale("log")
         _style(ax, "log2(n)", ylabel, title)
-        if len({r["batch"] for r in rows}) > 1:
+        if len({r["batch"] for r in rows}) > 1 or net_labeled:
             ax.legend(frameon=False, fontsize=8, labelcolor=_TEXT2)
         path = os.path.join(out_dir, fname)
         fig.savefig(path, bbox_inches="tight")
@@ -101,7 +116,8 @@ def render_all(summary_csv: str, out_dir: str) -> list[str]:
         written.append(path)
 
     _line_fig("us_per_ntt", "µs / transform",
-              f"Forward NTT time — {field}", "exectime.png", logy=True)
+              f"Forward NTT time — {field}", "exectime.png", logy=True,
+              net_key="net_us_per_ntt")
     _line_fig("ntts_per_sec", "transforms / s",
               f"Forward NTT throughput — {field}", "throughput.png", logy=True)
 
@@ -114,7 +130,15 @@ def render_all(summary_csv: str, out_dir: str) -> list[str]:
     pts = [best[k] for k in sorted(best)]
     xs = [r["log_n"] for r in pts]
     ax.plot(xs, [100 * r["hbm_efficiency"] for r in pts], color=_SERIES[0],
-            linewidth=2, marker="o", markersize=5, zorder=3)
+            linewidth=2, marker="o", markersize=5, zorder=3,
+            label="vs spec-sheet peak")
+    if all(r.get("hbm_efficiency_measured") for r in pts):
+        # calibrated denominator: this chip's measured streaming peak
+        # (roofline.measure_peak) — honest on shared/partitioned parts
+        ax.plot(xs, [100 * r["hbm_efficiency_measured"] for r in pts],
+                color=_SERIES[1], linewidth=2, marker="s", markersize=4,
+                zorder=3, label="vs measured peak")
+        ax.legend(frameon=False, fontsize=8, labelcolor=_TEXT2)
     ax.axhline(100, color=_TEXT2, linewidth=1, linestyle="--", zorder=2)
     ax.annotate("HBM roofline", (xs[0], 100), xytext=(0, 4),
                 textcoords="offset points", color=_TEXT2, fontsize=8)
