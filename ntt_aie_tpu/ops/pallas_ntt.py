@@ -148,8 +148,9 @@ def build_colpass(
     assert n2 % block_lanes == 0
     grid = n2 // block_lanes
 
-    n_wm1 = nt if twiddle_pos != "none" else 0
-    n_wm2 = nt if twiddle_pos2 != "none" else 0
+    ntm = red.mat_tables  # full-matrix operands may use a packed form
+    n_wm1 = ntm if twiddle_pos != "none" else 0
+    n_wm2 = ntm if twiddle_pos2 != "none" else 0
 
     def kernel(*refs):
         x_ref = refs[0]
@@ -164,20 +165,20 @@ def build_colpass(
             x = x.reshape(x.shape[-2], x.shape[-1])
         if twiddle_pos == "pre":
             wm = tuple(r[:].reshape(x.shape) for r in wmat_refs)
-            x = red.mul_const(x, *wm)
+            x = red.mulc_mat(x, *wm)
         if twiddle_pos2 == "pre":
             wm = tuple(r[:].reshape(x.shape) for r in wmat2_refs)
-            x = red.mul_const(x, *wm)
+            x = red.mulc_mat(x, *wm)
 
         tws = [tuple(tw_refs[s * nt + k][:] for k in range(nt))
                for s in range(logn)]
         x = run_stages(x, tws, direction, red, fuse=fuse)
         if twiddle_pos == "post":
             wm = tuple(r[:].reshape(x.shape) for r in wmat_refs)
-            x = red.mul_const(x, *wm)
+            x = red.mulc_mat(x, *wm)
         if twiddle_pos2 == "post":
             wm = tuple(r[:].reshape(x.shape) for r in wmat2_refs)
-            x = red.mul_const(x, *wm)
+            x = red.mulc_mat(x, *wm)
         if canonicalize:
             x = red.canonicalize(x)
         if transpose_out:
@@ -301,8 +302,8 @@ def make_colpass(
     for v in vecs:
         for tab in red.prepare_table(v):
             tw_cols.append(np.ascontiguousarray(tab.reshape(-1, 1)))
-    wmat_tables = red.prepare_table(wmat) if wmat is not None else None
-    wmat2_tables = red.prepare_table(wmat2) if wmat2 is not None else None
+    wmat_tables = red.prep_mat(wmat) if wmat is not None else None
+    wmat2_tables = red.prep_mat(wmat2) if wmat2 is not None else None
     fn = build_colpass(
         n1=n1,
         n2=n2,
@@ -353,30 +354,31 @@ def build_fused_fourstep(
     ts_a = _stage_shapes(nn_a, direction)
     ts_b = _stage_shapes(nn_b, direction)
     nt = red.n_tables
+    ntm = red.mat_tables
 
     def kernel(*refs):
         x_ref = refs[0]
         i = 1
         twa = refs[i : i + loga * nt]; i += loga * nt
         twb = refs[i : i + logb * nt]; i += logb * nt
-        wmid = refs[i : i + nt]; i += nt
-        pre = refs[i : i + nt] if has_pre else (); i += nt if has_pre else 0
-        post = refs[i : i + nt] if has_post else ()
+        wmid = refs[i : i + ntm]; i += ntm
+        pre = refs[i : i + ntm] if has_pre else (); i += ntm if has_pre else 0
+        post = refs[i : i + ntm] if has_post else ()
         out_ref = refs[-1]
 
         x = x_ref[:].reshape(nn_a, nn_b)
         if has_pre:
-            x = red.mul_const(x, *(r[:].reshape(x.shape) for r in pre))
+            x = red.mulc_mat(x, *(r[:].reshape(x.shape) for r in pre))
         tws_a = [tuple(twa[s * nt + k][:] for k in range(nt))
                  for s in range(loga)]
         x = run_stages(x, tws_a, direction, red)
         x = x.T
-        x = red.mul_const(x, *(r[:].reshape(x.shape) for r in wmid))
+        x = red.mulc_mat(x, *(r[:].reshape(x.shape) for r in wmid))
         tws_b = [tuple(twb[s * nt + k][:] for k in range(nt))
                  for s in range(logb)]
         x = run_stages(x, tws_b, direction, red)
         if has_post:
-            x = red.mul_const(x, *(r[:].reshape(x.shape) for r in post))
+            x = red.mulc_mat(x, *(r[:].reshape(x.shape) for r in post))
         out_ref[:] = red.canonicalize(x).reshape(out_ref.shape)
 
     def whole(shape):
@@ -395,11 +397,11 @@ def build_fused_fourstep(
     in_specs = [whole((nn_a, nn_b))]
     in_specs += [const2d((t, 1)) for t in ts_a for _ in range(nt)]
     in_specs += [const2d((t, 1)) for t in ts_b for _ in range(nt)]
-    in_specs += [const2d((nn_b, nn_a))] * nt          # wmid (post-transpose)
+    in_specs += [const2d((nn_b, nn_a))] * ntm         # wmid (post-transpose)
     if has_pre:
-        in_specs += [const2d((nn_a, nn_b))] * nt
+        in_specs += [const2d((nn_a, nn_b))] * ntm
     if has_post:
-        in_specs += [const2d((nn_b, nn_a))] * nt
+        in_specs += [const2d((nn_b, nn_a))] * ntm
     out_sh = (nn_b, nn_a) if batch == 1 else (batch, nn_b, nn_a)
 
     return pl.pallas_call(
@@ -439,11 +441,11 @@ def make_fused_fourstep(
         for v in gen(field, nn, inverse=inverse):
             for tab in red.prepare_table(v):
                 cols.append(np.ascontiguousarray(tab.reshape(-1, 1)))
-    tail = list(red.prepare_table(wmid))
+    tail = list(red.prep_mat(wmid))
     if pre is not None:
-        tail += list(red.prepare_table(pre))
+        tail += list(red.prep_mat(pre))
     if post is not None:
-        tail += list(red.prepare_table(post))
+        tail += list(red.prep_mat(post))
     fn = build_fused_fourstep(
         n1=n1, n2=n2, red=red, inverse=inverse,
         has_pre=pre is not None, has_post=post is not None,

@@ -62,6 +62,26 @@ class Reduction:
     # Optional cheaper a-b whose result may exceed the domain but is legal
     # as mul_const input (Harvey: [0,4p) into Shoup). None = use sub.
     sub_for_mul: Callable | None = None
+    # Optional variants for FULL-MATRIX constant operands (the four-step
+    # wmat/wmid tables, n1 x n2 per table): trade a couple of in-kernel
+    # unpack ops for fewer HBM-resident tables. None = use the regular
+    # prepare_table/mul_const/n_tables. (Stage twiddle vectors stay on the
+    # regular path — they are tiny and their unpacks hoist.)
+    n_tables_mat: int | None = None
+    prepare_table_mat: Callable | None = None
+    mul_const_mat: Callable | None = None
+
+    @property
+    def mat_tables(self) -> int:
+        return self.n_tables_mat or self.n_tables
+
+    @property
+    def prep_mat(self) -> Callable:
+        return self.prepare_table_mat or self.prepare_table
+
+    @property
+    def mulc_mat(self) -> Callable:
+        return self.mul_const_mat or self.mul_const
 
 
 def make_reduction(kind: str, field) -> Reduction:
@@ -214,10 +234,25 @@ def make_reduction(kind: str, field) -> Reduction:
             x = jnp.where(x >= p2, x - p2, x)
             return jnp.where(x >= pc, x - pc, x)
 
+        def prep_mat(t):
+            # Matrix-operand form: w + the two 16-bit Shoup halves PACKED
+            # into one uint32 table ((wh << 16) | wl) — 2 HBM tables
+            # instead of 3 (the wmat multiply is HBM-bound: measured 72.7
+            # vs 34.5 us for the wmat pass vs the plain pass at n=2^20).
+            # The unpack costs 2 lane-ops per element in-kernel.
+            w, wh, wl = prep(t)
+            return (w, np.ascontiguousarray((wh << np.uint32(16)) | wl))
+
+        def mulc_mat(x, w, packed):
+            packed = jnp.asarray(packed, jnp.uint32)
+            return mulc(x, w, packed >> 16, packed & mask16)
+
         return Reduction(
             name="harvey4", p=p, lazy=True, n_tables=3,
             prepare_table=prep, mul_const=mulc, mul_data=muld,
             add=add, sub=sub, canonicalize=canon, sub_for_mul=sub_lazy,
+            n_tables_mat=2, prepare_table_mat=prep_mat,
+            mul_const_mat=mulc_mat,
         )
 
     raise ValueError(f"unknown reduction kind {kind!r}")

@@ -135,9 +135,9 @@ def build_distributed_plan(
     tw2 = red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n2), n2))
     itw1 = red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n1, inverse=True), n1))
     itw2 = red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n2, inverse=True), n2))
-    wmat_t = red.prepare_table(wmat)
-    iwmat_t = red.prepare_table(iwmat_scaled)
-    iwmat_poly_t = red.prepare_table(iwmat_poly)
+    wmat_t = red.prep_mat(wmat)
+    iwmat_t = red.prep_mat(iwmat_scaled)
+    iwmat_poly_t = red.prep_mat(iwmat_poly)
 
     tw1_d = tuple(jnp.asarray(t) for t in tw1)
     tw2_d = tuple(jnp.asarray(t) for t in tw2)
@@ -193,7 +193,7 @@ def build_distributed_plan(
 
         def local_pass1(xl, wml):
             y = S.dif_stages(xl, tw1_d, p, red)
-            return red.mul_const(y, *wml)
+            return red.mulc_mat(y, *wml)
 
         def local_pass2(xl):
             return red.canonicalize(S.dif_stages(xl, tw2_d, p, red))
@@ -202,7 +202,7 @@ def build_distributed_plan(
             return S.dit_stages(xl, itw2_d, p, red)
 
         def local_ipass1(xl, wml):
-            y = red.mul_const(xl, *wml)
+            y = red.mulc_mat(xl, *wml)
             return red.canonicalize(S.dit_stages(y, itw1_d, p, red))
 
     # ---- shard_map bodies ----

@@ -313,14 +313,14 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         tw2 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n2), n2)))
         itw1 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n1, inverse=True), n1)))
         itw2 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n2, inverse=True), n2)))
-        wmat_dev = _dev(red.prepare_table(wmat))
-        iwmat_dev = _dev(red.prepare_table(iwmat_scaled))
-        iwmat_poly_dev = _dev(red.prepare_table(iwmat_poly))
+        wmat_dev = _dev(red.prep_mat(wmat))
+        iwmat_dev = _dev(red.prep_mat(iwmat_scaled))
+        iwmat_poly_dev = _dev(red.prep_mat(iwmat_poly))
 
         def fwd_fn(a):
             x = a.astype(jnp.uint32).reshape(n1, n2)
             x = S.dif_stages(x, tw1, p, red)
-            x = red.mul_const(x, *wmat_dev)
+            x = red.mulc_mat(x, *wmat_dev)
             x = x.T
             x = S.dif_stages(x, tw2, p, red)
             return red.canonicalize(x).reshape(n)
@@ -329,7 +329,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             x = a.astype(jnp.uint32).reshape(n2, n1)
             x = S.dit_stages(x, itw2, p, red)
             x = x.T
-            x = red.mul_const(x, *iw)
+            x = red.mulc_mat(x, *iw)
             x = S.dit_stages(x, itw1, p, red)
             return red.canonicalize(x).reshape(n)
 
