@@ -89,13 +89,33 @@ def measure_peak(*, mb: int = 256, iters: int = 10, repeats: int = 5,
 
     n = mb * 1024 * 1024 // 4
     x = jnp.zeros((n,), jnp.uint32)
-    step = jax.jit(lambda v: v + np.uint32(1))
-    res = time_device(step, x, iters=iters, repeats=repeats)
-    t = res["us_per_iter"] * 1e-6
+    # K barrier-separated read+write passes per dispatch: the per-dispatch
+    # cost (measured up to ~3 ms through a congested tunnel) then
+    # amortizes inside one call instead of polluting every chained step.
+    # optimization_barrier stops XLA from fusing the K elementwise adds
+    # into a single HBM pass; each one really streams the buffer.
+    K = 8
+    one = np.uint32(1)
+
+    def step(v):
+        for _ in range(K):
+            v = jax.lax.optimization_barrier(v + one)
+        return v
+
+    res = time_device(jax.jit(step), x, iters=iters, repeats=repeats)
+    # Residual dispatch overhead, measured with the same K-pass shape on a
+    # tiny buffer (pure per-dispatch cost), subtracted for the marginal
+    # figure. Guard against overcorrection on uncongested links.
+    tiny = jnp.zeros((8, 128), jnp.uint32)
+    base = time_device(jax.jit(step), tiny, iters=iters, repeats=repeats)
+    net_us = max(res["us_per_iter"] - base["us_per_iter"],
+                 res["us_per_iter"] * 0.2)
     out = {
-        "measured_hbm_gbps": 2 * n * 4 / t / 1e9,
+        "measured_hbm_gbps": K * 2 * n * 4 / (net_us * 1e-6) / 1e9,
+        "raw_gbps": K * 2 * n * 4 / (res["us_per_iter"] * 1e-6) / 1e9,
+        "dispatch_us_per_op": base["us_per_iter"],
         "buffer_mb": mb,
-        "us_per_pass": res["us_per_iter"],
+        "us_per_pass": res["us_per_iter"] / K,
     }
     if cache:
         _measured_peak_cache = out
