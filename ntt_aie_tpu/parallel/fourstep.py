@@ -45,11 +45,13 @@ class DistributedPlan:
     mesh: Mesh
     fwd: Callable        # (n1, n2) col-sharded -> (n2, n1) col-sharded
     inv: Callable        # (n2, n1) col-sharded -> (n1, n2) col-sharded
-    polymul: Callable    # two (n1, n2) -> (n1, n2)
+    polymul: Callable    # two (n1, n2) -> (n1, n2), cyclic
     spectral_to_natural: np.ndarray  # over the row-major flattened output
     in_sharding: NamedSharding
     out_sharding: NamedSharding
     reduction: str
+    # X^n + 1 product (config.negacyclic plans only; fused psi scaling)
+    negacyclic_polymul: Optional[Callable] = None
 
     def shard_input(self, a_flat):
         """Place a flat (n,) host array into the plan's input layout:
@@ -205,65 +207,125 @@ def build_distributed_plan(
             y = red.mulc_mat(xl, *wml)
             return red.canonicalize(S.dit_stages(y, itw1_d, p, red))
 
+    # ---- negacyclic psi-scaling engines (X^n + 1 arithmetic) ----
+    # Fused exactly like the single-chip plan (plan.py): psi^j rides pass 1
+    # as a second 'pre' matrix multiply; psi^-j rides the LAST inverse pass
+    # as a 'post' multiply before canonicalization. Both matrices shard
+    # like wmat (columns over the mesh axis).
+    if config.negacyclic:
+        psi_mat = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
+        psi_inv_mat = tw.negacyclic_psi_powers(field, n, inverse=True).reshape(n1, n2)
+        psi_d = tuple(jnp.asarray(t) for t in red.prep_mat(psi_mat))
+        ipsi_d = tuple(jnp.asarray(t) for t in red.prep_mat(psi_inv_mat))
+        if engine == "pallas":
+            from ntt_aie_tpu.ops import pallas_ntt as PN
+
+            lcp1n = PN.build_colpass(n1=n1, n2=n2 // D, red=red,
+                                     direction="dif", twiddle_pos="post",
+                                     twiddle_pos2="pre", interpret=interpret)
+            licp1n = PN.build_colpass(n1=n1, n2=n2 // D, red=red,
+                                      direction="dit", twiddle_pos="pre",
+                                      twiddle_pos2="post", canonicalize=True,
+                                      interpret=interpret)
+
+            def local_pass1_neg(xl, wml, psil):
+                return lcp1n(xl, *tw_cols_1, *wml, *psil)
+
+            def local_ipass1_neg(xl, wml, psil):
+                return licp1n(xl, *itw_cols_1, *wml, *psil)
+        else:
+
+            def local_pass1_neg(xl, wml, psil):
+                y = red.mulc_mat(xl, *psil)
+                y = S.dif_stages(y, tw1_d, p, red)
+                return red.mulc_mat(y, *wml)
+
+            def local_ipass1_neg(xl, wml, psil):
+                y = red.mulc_mat(xl, *wml)
+                y = S.dit_stages(y, itw1_d, p, red)
+                return red.canonicalize(red.mulc_mat(y, *psil))
+
+    nw = len(wmat_d)  # tables per matrix operand
+
+    def p1_std(x, tabs):
+        return local_pass1(x, tabs)
+
+    def ip1_std_scaled(y, tabs):
+        return local_ipass1(y, tabs)
+
+    def p1_neg(x, tabs):
+        return local_pass1_neg(x, tabs[:nw], tabs[nw:])
+
+    def ip1_neg(y, tabs):
+        return local_ipass1_neg(y, tabs[:nw], tabs[nw:])
+
     # ---- shard_map bodies ----
     if dp_axis is None:
-        def fwd_body(x, *wml):
-            # x: local (n1, n2/D); wml: local wmat slices
-            y = local_pass1(x, wml)
-            if C == 1:
-                # one monolithic all_to_all: (n1, n2/D) -> (n1/D, n2)
-                y = jax.lax.all_to_all(y, ax, split_axis=0, concat_axis=1,
-                                       tiled=True)
-                return local_pass2(y.T)
-            # Chunked overlap: regroup rows by (dest device, chunk) and
-            # issue one independent all_to_all per chunk — pass-2 column
-            # NTTs on chunk k have no data dependence on chunk k+1's
-            # collective, so XLA's async scheduler overlaps them. Chunk c
-            # carries every device's target rows d*(n1/D) + c*w1 + [0,w1),
-            # which makes the concatenated output bit-identical to C == 1.
-            yg = y.reshape(D, C, w1, n2 // D)
-            outs = []
-            for c in range(C):
-                yc = yg[:, c].reshape(D * w1, n2 // D)
-                tc = jax.lax.all_to_all(yc, ax, split_axis=0, concat_axis=1,
-                                        tiled=True)       # (w1, n2)
-                outs.append(local_pass2(tc.T))            # (n2, w1)
-            return jnp.concatenate(outs, axis=1)          # (n2, n1/D)
+        def make_fwd_body(p1):
+            def fwd_body(x, *tabs):
+                # x: local (n1, n2/D); tabs: local matrix-operand slices
+                y = p1(x, tabs)
+                if C == 1:
+                    # one monolithic all_to_all: (n1, n2/D) -> (n1/D, n2)
+                    y = jax.lax.all_to_all(y, ax, split_axis=0, concat_axis=1,
+                                           tiled=True)
+                    return local_pass2(y.T)
+                # Chunked overlap: regroup rows by (dest device, chunk) and
+                # issue one independent all_to_all per chunk — pass-2 column
+                # NTTs on chunk k have no data dependence on chunk k+1's
+                # collective, so XLA's async scheduler overlaps them. Chunk c
+                # carries every device's target rows d*(n1/D) + c*w1 + [0,w1),
+                # which makes the concatenated output bit-identical to C == 1.
+                yg = y.reshape(D, C, w1, n2 // D)
+                outs = []
+                for c in range(C):
+                    yc = yg[:, c].reshape(D * w1, n2 // D)
+                    tc = jax.lax.all_to_all(yc, ax, split_axis=0,
+                                            concat_axis=1, tiled=True)  # (w1, n2)
+                    outs.append(local_pass2(tc.T))        # (n2, w1)
+                return jnp.concatenate(outs, axis=1)      # (n2, n1/D)
+            return fwd_body
 
-        def inv_body_core(x, *wml):
-            # x: local (n2, n1/D) spectral
-            if C == 1:
-                y = local_ipass2(x)
-                y = y.T  # (n1/D, n2)
-                y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=0,
-                                       tiled=True)
-                return local_ipass1(y, wml)  # (n1, n2/D)
-            # Producer-side overlap: chunk k's collective flies while
-            # pass-2 (ipass2) computes chunk k+1. Received chunks are
-            # regrouped to the monolithic row order before ipass1.
-            recv = []
-            for c in range(C):
-                xc = jax.lax.slice_in_dim(x, c * w1, (c + 1) * w1, axis=1)
-                yc = local_ipass2(xc)                     # (n2, w1)
-                tc = jax.lax.all_to_all(yc.T, ax, split_axis=1,
-                                        concat_axis=0, tiled=True)
-                recv.append(tc)                           # (D*w1, n2/D)
-            z = jnp.stack(recv, axis=0)                   # (C, D*w1, n2/D)
-            z = z.reshape(C, D, w1, n2 // D).transpose(1, 0, 2, 3)
-            return local_ipass1(z.reshape(n1, n2 // D), wml)
+        def make_inv_body(ip1):
+            def inv_body(x, *tabs):
+                # x: local (n2, n1/D) spectral
+                if C == 1:
+                    y = local_ipass2(x)
+                    y = y.T  # (n1/D, n2)
+                    y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=0,
+                                           tiled=True)
+                    return ip1(y, tabs)  # (n1, n2/D)
+                # Producer-side overlap: chunk k's collective flies while
+                # pass-2 (ipass2) computes chunk k+1. Received chunks are
+                # regrouped to the monolithic row order before ipass1.
+                recv = []
+                for c in range(C):
+                    xc = jax.lax.slice_in_dim(x, c * w1, (c + 1) * w1, axis=1)
+                    yc = local_ipass2(xc)                 # (n2, w1)
+                    tc = jax.lax.all_to_all(yc.T, ax, split_axis=1,
+                                            concat_axis=0, tiled=True)
+                    recv.append(tc)                       # (D*w1, n2/D)
+                z = jnp.stack(recv, axis=0)               # (C, D*w1, n2/D)
+                z = z.reshape(C, D, w1, n2 // D).transpose(1, 0, 2, 3)
+                return ip1(z.reshape(n1, n2 // D), tabs)
+            return inv_body
     else:
         # batched: local blocks (B/dp, n1, n2/D); vmap the 2D local passes
-        def fwd_body(x, *wml):
-            y = jax.vmap(lambda xb: local_pass1(xb, wml))(x)
-            y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=2, tiled=True)
-            y = jnp.transpose(y, (0, 2, 1))
-            return jax.vmap(local_pass2)(y)
+        def make_fwd_body(p1):
+            def fwd_body(x, *tabs):
+                y = jax.vmap(lambda xb: p1(xb, tabs))(x)
+                y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=2, tiled=True)
+                y = jnp.transpose(y, (0, 2, 1))
+                return jax.vmap(local_pass2)(y)
+            return fwd_body
 
-        def inv_body_core(x, *wml):
-            y = jax.vmap(local_ipass2)(x)
-            y = jnp.transpose(y, (0, 2, 1))
-            y = jax.lax.all_to_all(y, ax, split_axis=2, concat_axis=1, tiled=True)
-            return jax.vmap(lambda xb: local_ipass1(xb, wml))(y)
+        def make_inv_body(ip1):
+            def inv_body(x, *tabs):
+                y = jax.vmap(local_ipass2)(x)
+                y = jnp.transpose(y, (0, 2, 1))
+                y = jax.lax.all_to_all(y, ax, split_axis=2, concat_axis=1, tiled=True)
+                return jax.vmap(lambda xb: ip1(xb, tabs))(y)
+            return inv_body
 
     smap = lambda body, n_w: jax.shard_map(  # noqa: E731
         body,
@@ -275,9 +337,9 @@ def build_distributed_plan(
         check_vma=(engine != "pallas"),
     )
 
-    fwd_m = smap(fwd_body, len(wmat_d))
-    inv_m = smap(inv_body_core, len(iwmat_d))
-    inv_poly_m = smap(inv_body_core, len(iwmat_poly_d))
+    fwd_m = smap(make_fwd_body(p1_std), nw)
+    inv_m = smap(make_inv_body(ip1_std_scaled), nw)
+    inv_poly_m = smap(make_inv_body(ip1_std_scaled), nw)
 
     def fwd_fn(a):
         return fwd_m(a.astype(jnp.uint32), *wmat_d)
@@ -285,16 +347,29 @@ def build_distributed_plan(
     def inv_fn(a):
         return inv_m(a.astype(jnp.uint32), *iwmat_d)
 
-    def polymul_fn(a, b):
-        fa = fwd_fn(a)
-        fb = fwd_fn(b)
+    def _pointwise(fa, fb):
         if kind == "montgomery":
             from ntt_aie_tpu.ops import modops as M
 
-            fc = M.mont_mul(fa, fb, p, field.mont_neg_pinv)
-        else:
-            fc = red.mul_data(fa, fb)
+            return M.mont_mul(fa, fb, p, field.mont_neg_pinv)
+        return red.mul_data(fa, fb)
+
+    def polymul_fn(a, b):
+        fa = fwd_fn(a)
+        fb = fwd_fn(b)
+        fc = _pointwise(fa, fb)
         return inv_poly_m(fc, *iwmat_poly_d)
+
+    negacyclic_fn = None
+    if config.negacyclic:
+        fwd_neg_m = smap(make_fwd_body(p1_neg), 2 * nw)
+        inv_neg_m = smap(make_inv_body(ip1_neg), 2 * nw)
+
+        def negacyclic_fn(a, b):
+            fa = fwd_neg_m(a.astype(jnp.uint32), *wmat_d, *psi_d)
+            fb = fwd_neg_m(b.astype(jnp.uint32), *wmat_d, *psi_d)
+            fc = _pointwise(fa, fb)
+            return inv_neg_m(fc, *iwmat_poly_d, *ipsi_d)
 
     in_sharding = NamedSharding(mesh, P(None, ax) if dp_axis is None else P(dp_axis, None, ax))
 
@@ -308,6 +383,8 @@ def build_distributed_plan(
         in_sharding=in_sharding,
         out_sharding=in_sharding,
         reduction=kind,
+        negacyclic_polymul=(jax.jit(negacyclic_fn)
+                            if negacyclic_fn is not None else None),
     )
 
 

@@ -253,3 +253,52 @@ def test_distributed_pallas_engine_interpret(mesh8, rng):
     assert np.array_equal(got_x, got_p)
     back = np.asarray(d_p.inv(d_p.fwd(d_p.shard_input(a)))).reshape(-1)
     assert np.array_equal(back, a)
+
+
+def test_distributed_negacyclic_polymul(mesh8, rng):
+    """X^n + 1 product on the distributed plan (psi pre-scale fused into
+    pass 1, psi^-1 post-scale fused into the last inverse pass) vs the
+    schoolbook oracle — monolithic and chunked-overlap, plus Montgomery."""
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=5, num_shards=8,
+                    negacyclic=True)
+    a = rng.integers(0, field.p, cfg.n)
+    b = rng.integers(0, field.p, cfg.n)
+    want = ref.schoolbook_negacyclic(a, b, field.p)
+    for C in (1, 2):
+        plan = build_distributed_plan(cfg, mesh8, engine="xla",
+                                      overlap_chunks=C)
+        got = np.asarray(plan.negacyclic_polymul(
+            plan.shard_input(a), plan.shard_input(b))).reshape(-1)
+        assert np.array_equal(got.astype(np.int64), want), f"C={C}"
+    # non-negacyclic plans expose no negacyclic_polymul
+    plain = build_distributed_plan(
+        NTTConfig(field=field, log_n=12, rows_log2=5, num_shards=8),
+        mesh8, engine="xla")
+    assert plain.negacyclic_polymul is None
+
+    fm = F.P_2013265921
+    cfgm = NTTConfig(field=fm, log_n=12, rows_log2=5, num_shards=8,
+                     negacyclic=True)
+    planm = build_distributed_plan(cfgm, mesh8, engine="xla")
+    am = rng.integers(0, fm.p, cfgm.n)
+    bm = rng.integers(0, fm.p, cfgm.n)
+    gotm = np.asarray(planm.negacyclic_polymul(
+        planm.shard_input(am), planm.shard_input(bm))).reshape(-1)
+    assert np.array_equal(gotm.astype(np.int64),
+                          ref.schoolbook_negacyclic(am, bm, fm.p))
+
+
+def test_distributed_negacyclic_pallas_interpret(mesh8, rng):
+    """Negacyclic distributed plan through the pallas engine (interpret):
+    the twiddle_pos2 psi fusion composes with the colpass wmat."""
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=11, rows_log2=4, num_shards=8,
+                    negacyclic=True)
+    plan = build_distributed_plan(cfg, mesh8, engine="pallas", interpret=True)
+    a = rng.integers(0, field.p, cfg.n)
+    b = rng.integers(0, field.p, cfg.n)
+    got = np.asarray(plan.negacyclic_polymul(
+        plan.shard_input(a), plan.shard_input(b))).reshape(-1)
+    assert np.array_equal(got.astype(np.int64),
+                          ref.schoolbook_negacyclic(a, b, field.p))
