@@ -34,7 +34,13 @@ class RNSPolymul:
     """
 
     def __init__(self, log_n: int, prime_fields: Sequence = DEFAULT_FIELDS,
-                 *, negacyclic: bool = False, engine: str = "auto"):
+                 *, negacyclic: bool = False, engine: str = "auto",
+                 mesh=None, overlap_chunks: int = 1):
+        """mesh: a jax.sharding.Mesh runs every residue field's polymul on
+        the DISTRIBUTED four-step plan (coefficients sharded over the mesh
+        axis 'x') — exact big-integer convolution at pod scale; the k
+        residue products still dispatch concurrently. overlap_chunks is
+        forwarded to the distributed plans (chunked transpose overlap)."""
         import math
 
         from ntt_aie_tpu.plan import build_plan
@@ -51,13 +57,28 @@ class RNSPolymul:
                         "CRT basis degenerate)"
                     )
         self.negacyclic = negacyclic
-        self.plans = [
-            build_plan(
-                NTTConfig(field=f, log_n=log_n, negacyclic=negacyclic),
-                engine=engine,
-            )
-            for f in self.fields
-        ]
+        self.mesh = mesh
+        if mesh is None:
+            self.plans = [
+                build_plan(
+                    NTTConfig(field=f, log_n=log_n, negacyclic=negacyclic),
+                    engine=engine,
+                )
+                for f in self.fields
+            ]
+        else:
+            from ntt_aie_tpu.parallel.fourstep import build_distributed_plan
+
+            D = mesh.shape["x"]
+            rows_log2 = max(log_n // 2, D.bit_length() - 1)
+            self.plans = [
+                build_distributed_plan(
+                    NTTConfig(field=f, log_n=log_n, negacyclic=negacyclic,
+                              num_shards=D, rows_log2=rows_log2),
+                    mesh, engine=engine, overlap_chunks=overlap_chunks,
+                )
+                for f in self.fields
+            ]
         self.modulus = 1
         for f in self.fields:
             self.modulus *= f.p
@@ -99,8 +120,11 @@ class RNSPolymul:
         pending = []
         for plan, ra, rb in zip(self.plans, self._residues(a), self._residues(b)):
             fn = plan.negacyclic_polymul if self.negacyclic else plan.polymul
-            pending.append(fn(jnp.asarray(ra), jnp.asarray(rb)))
-        res = [np.asarray(r) for r in pending]
+            if self.mesh is not None:
+                pending.append(fn(plan.shard_input(ra), plan.shard_input(rb)))
+            else:
+                pending.append(fn(jnp.asarray(ra), jnp.asarray(rb)))
+        res = [np.asarray(r).reshape(-1) for r in pending]
         # CRT: c = sum_i r_i * e_i mod M (object math, exact)
         acc = np.zeros(self.n, dtype=object)
         for r, e in zip(res, self._basis):

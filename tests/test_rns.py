@@ -89,3 +89,35 @@ def test_rns_modulus_and_basis():
     for i, f in enumerate(rns.fields):
         for j, g in enumerate(rns.fields):
             assert rns._basis[i] % g.p == (1 if i == j else 0)
+
+
+def test_rns_distributed_mesh(rng):
+    """RNS over the DISTRIBUTED four-step plans (coefficients sharded over
+    the virtual mesh): exact big-integer cyclic and negacyclic products."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from ntt_aie_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    log_n = 10
+    n = 1 << log_n
+    rns = RNSPolymul(log_n, mesh=mesh, engine="xla", overlap_chunks=2)
+    bound = rns.max_input_bound()
+    a = np.array([int(x) for x in rng.integers(0, bound, n)], dtype=object)
+    b = np.array([int(x) for x in rng.integers(0, bound, n)], dtype=object)
+    got = rns.polymul(a, b)
+    # exact-integer check against the single-chip RNS (itself schoolbook-
+    # gated in the tests above) — avoids an O(n^2) object-int schoolbook
+    single = RNSPolymul(log_n, engine="xla")
+    assert np.array_equal(got, single.polymul(a, b))
+
+    rneg = RNSPolymul(log_n, mesh=mesh, engine="xla", negacyclic=True)
+    sneg = RNSPolymul(log_n, engine="xla", negacyclic=True)
+    s = np.array([int(x) - bound // 2 for x in rng.integers(0, bound, n)],
+                 dtype=object)
+    t = np.array([int(x) - bound // 2 for x in rng.integers(0, bound, n)],
+                 dtype=object)
+    assert np.array_equal(rneg.polymul(s, t), sneg.polymul(s, t))
