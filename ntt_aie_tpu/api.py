@@ -98,3 +98,15 @@ class NTTContext:
         if self._polymul is None:
             self._build()
         return self._polymul(a, b)
+
+    def negacyclic_polymul(self, a, b):
+        """a * b in Z_p[X]/(X^n + 1) (RLWE-style). Requires
+        NTTConfig(negacyclic=True) so the psi tables were planned."""
+        if not self.config.negacyclic:
+            raise ValueError(
+                "negacyclic_polymul needs NTTConfig(negacyclic=True)"
+            )
+        fn = self.plan.negacyclic_polymul
+        if fn is None:
+            raise ValueError("plan has no negacyclic path")
+        return fn(a, b)

@@ -114,6 +114,16 @@ def cmd_verify(args) -> int:
             _check("cyclic polymul vs oracle",
                    np.array_equal(got.astype(object), wantp.astype(object)),
                    failures)
+            if 2 * cfg.n <= field.max_n and not big:
+                # negacyclic (X^n + 1) gate — the RLWE product path
+                nctx = NTTContext(NTTConfig(field=field, log_n=args.log_n,
+                                            negacyclic=True))
+                ngot = np.asarray(nctx.negacyclic_polymul(
+                    np.asarray(a, dtype=np.uint32),
+                    np.asarray(b, dtype=np.uint32)))
+                nwant = ref.schoolbook_negacyclic(a, b, field.p)
+                _check("negacyclic polymul vs schoolbook",
+                       np.array_equal(ngot.astype(np.int64), nwant), failures)
 
         if field.p == 3329:
             # ML-KEM (FIPS 203) pipeline on device, gated by the NumPy

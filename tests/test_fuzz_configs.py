@@ -17,22 +17,33 @@ FIELDS = [F.DILITHIUM, F.P_998244353, F.P_2013265921, F.P_469762049]
 
 def _cases():
     rng = np.random.default_rng(20260816)
-    for i in range(10):
+    for i in range(12):
         field = FIELDS[rng.integers(0, len(FIELDS))]
         log_n = int(rng.integers(4, 13))
         rows_log2 = int(rng.integers(1, log_n)) if rng.random() < 0.7 else None
         ordering = ["bitrev", "natural"][rng.integers(0, 2)]
         engine = ["xla", "pallas"][rng.integers(0, 2)]
-        yield pytest.param(field, log_n, rows_log2, ordering, engine,
-                           id=f"{i}-{field.name}-n{log_n}-r{rows_log2}-{ordering}-{engine}")
+        # explicit reduction override ~1/3 of the time (else 'auto',
+        # which now resolves harvey4 for p < 2^29)
+        red = "auto"
+        if rng.random() < 0.33:
+            opts = ["montgomery"]
+            if field.p < (1 << 30) and field.p % 2 == 1:
+                opts.append("harvey")
+            if field.p < (1 << 29) and field.p % 2 == 1:
+                opts.append("harvey4")
+            red = opts[rng.integers(0, len(opts))]
+        yield pytest.param(field, log_n, rows_log2, ordering, engine, red,
+                           id=f"{i}-{field.name}-n{log_n}-r{rows_log2}-"
+                              f"{ordering}-{engine}-{red}")
 
 
-@pytest.mark.parametrize("field,log_n,rows_log2,ordering,engine", _cases())
-def test_fuzzed_config(field, log_n, rows_log2, ordering, engine, rng):
+@pytest.mark.parametrize("field,log_n,rows_log2,ordering,engine,red", _cases())
+def test_fuzzed_config(field, log_n, rows_log2, ordering, engine, red, rng):
     if (1 << log_n) > field.max_n:
         pytest.skip("n exceeds field")
     cfg = NTTConfig(field=field, log_n=log_n, rows_log2=rows_log2,
-                    ordering=ordering)
+                    ordering=ordering, reduction=red)
     n2 = cfg.split[1]
     if engine == "pallas" and n2 == 1:
         engine = "xla"  # flat path has no pallas kernels
