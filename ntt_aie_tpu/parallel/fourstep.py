@@ -420,7 +420,8 @@ def pairwise_global_stage(x_local, stage_idx: int, D: int, axis: str,
 # Goldilocks (64-bit prime) distributed four-step on (hi, lo) limb pairs
 # ---------------------------------------------------------------------------
 
-def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh) -> DistributedPlan:
+def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
+                              overlap_chunks: int = 1) -> DistributedPlan:
     """Distributed four-step NTT for p = 2^64 - 2^32 + 1: same structure as
     build_distributed_plan but every value travels as a (hi, lo) uint32 limb
     pair — two same-shaped arrays through the same shardings and the same
@@ -439,6 +440,12 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh) -> DistributedPlan:
     n1, n2 = config.split
     if n2 % D or n1 % D:
         raise ValueError(f"split {config.split} must divide by mesh size {D}")
+    C = overlap_chunks
+    w1 = n1 // (D * C)
+    if C < 1 or (C > 1 and w1 * D * C != n1):
+        raise ValueError(
+            f"n1={n1} must divide by D*overlap_chunks={D * C} for chunked overlap"
+        )
 
     tabs = tw.fourstep_tables(field, n1, n2)
     wmat, iwmat_scaled, pos = tabs["wmat"], tabs["iwmat_scaled"], tabs["pos"]
@@ -463,23 +470,55 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh) -> DistributedPlan:
                                concat_axis=concat_axis, tiled=True)
         return h, l
 
-    def fwd_body(h, l, wh, wl):
+    def fwd_body(h, l, wh, wl, *psi):
+        # psi: optional negacyclic limb pair applied BEFORE pass 1
+        if psi:
+            h, l = M.gl_mul(h, l, psi[0], psi[1])
         h, l = gl_dif_stages(h, l, *tw1)
         h, l = M.gl_mul(h, l, wh, wl)
-        h, l = _a2a(h, l, 0, 1)
-        h, l = h.T, l.T
-        return gl_dif_stages(h, l, *tw2)
+        if C == 1:
+            h, l = _a2a(h, l, 0, 1)
+            return gl_dif_stages(h.T, l.T, *tw2)
+        # Chunked overlap over the target n1 rows — the same regrouping as
+        # the 32-bit plan, applied to both limb planes.
+        hg = h.reshape(D, C, w1, n2 // D)
+        lg = l.reshape(D, C, w1, n2 // D)
+        oh, ol = [], []
+        for c in range(C):
+            tch, tcl = _a2a(hg[:, c].reshape(D * w1, n2 // D),
+                            lg[:, c].reshape(D * w1, n2 // D), 0, 1)
+            rh, rl = gl_dif_stages(tch.T, tcl.T, *tw2)   # (n2, w1)
+            oh.append(rh)
+            ol.append(rl)
+        return jnp.concatenate(oh, axis=1), jnp.concatenate(ol, axis=1)
 
-    def inv_body(h, l, wh, wl):
-        h, l = gl_dit_stages(h, l, *itw2)
-        h, l = h.T, l.T
-        h, l = _a2a(h, l, 1, 0)
+    def inv_body(h, l, wh, wl, *psi):
+        # psi: optional negacyclic psi^-1 limb pair applied AFTER pass 1
+        if C == 1:
+            h, l = gl_dit_stages(h, l, *itw2)
+            h, l = _a2a(h.T, l.T, 1, 0)
+        else:
+            rh, rl = [], []
+            for c in range(C):
+                hc = jax.lax.slice_in_dim(h, c * w1, (c + 1) * w1, axis=1)
+                lc = jax.lax.slice_in_dim(l, c * w1, (c + 1) * w1, axis=1)
+                yh, yl = gl_dit_stages(hc, lc, *itw2)    # (n2, w1)
+                tch, tcl = _a2a(yh.T, yl.T, 1, 0)        # (D*w1, n2/D)
+                rh.append(tch)
+                rl.append(tcl)
+            h = jnp.stack(rh, 0).reshape(C, D, w1, n2 // D) \
+                   .transpose(1, 0, 2, 3).reshape(n1, n2 // D)
+            l = jnp.stack(rl, 0).reshape(C, D, w1, n2 // D) \
+                   .transpose(1, 0, 2, 3).reshape(n1, n2 // D)
         h, l = M.gl_mul(h, l, wh, wl)
-        return gl_dit_stages(h, l, *itw1)
+        h, l = gl_dit_stages(h, l, *itw1)
+        if psi:
+            h, l = M.gl_mul(h, l, psi[0], psi[1])
+        return h, l
 
-    smap = lambda body: jax.shard_map(  # noqa: E731
+    smap = lambda body, extra=0: jax.shard_map(  # noqa: E731
         body, mesh=mesh,
-        in_specs=(colshard,) * 4,
+        in_specs=(colshard,) * (4 + extra),
         out_specs=(colshard, colshard),
     )
     fwd_m = smap(fwd_body)
@@ -497,6 +536,20 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh) -> DistributedPlan:
         fc = M.gl_mul(fah, fal, fbh, fbl)
         return inv_fn(fc)
 
+    negacyclic_fn = None
+    if config.negacyclic:
+        psi_d = _dev_limbs(tw.negacyclic_psi_powers(field, n).reshape(n1, n2))
+        ipsi_d = _dev_limbs(
+            tw.negacyclic_psi_powers(field, n, inverse=True).reshape(n1, n2))
+        fwd_neg_m = smap(fwd_body, extra=2)
+        inv_neg_m = smap(inv_body, extra=2)
+
+        def negacyclic_fn(a, b):
+            fah, fal = fwd_neg_m(a[0], a[1], *wmat_d, *psi_d)
+            fbh, fbl = fwd_neg_m(b[0], b[1], *wmat_d, *psi_d)
+            fc = M.gl_mul(fah, fal, fbh, fbl)
+            return inv_neg_m(fc[0], fc[1], *iwmat_d, *ipsi_d)
+
     in_sharding = NamedSharding(mesh, colshard)
 
     plan = DistributedPlan(
@@ -509,6 +562,8 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh) -> DistributedPlan:
         in_sharding=in_sharding,
         out_sharding=in_sharding,
         reduction="goldilocks",
+        negacyclic_polymul=(jax.jit(negacyclic_fn)
+                            if negacyclic_fn is not None else None),
     )
 
     def shard_input_gl(a_flat):

@@ -302,3 +302,38 @@ def test_distributed_negacyclic_pallas_interpret(mesh8, rng):
         plan.shard_input(a), plan.shard_input(b))).reshape(-1)
     assert np.array_equal(got.astype(np.int64),
                           ref.schoolbook_negacyclic(a, b, field.p))
+
+
+def test_goldilocks_distributed_overlap_and_negacyclic(rng):
+    """GL distributed plan: chunked-overlap transpose is bit-identical to
+    monolithic, and the negacyclic product matches the schoolbook oracle
+    (object-int) in both modes."""
+    from jax.sharding import Mesh
+
+    from ntt_aie_tpu.ops import modops as M
+    from ntt_aie_tpu.parallel.fourstep import build_gl_distributed_plan
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    GL = F.GOLDILOCKS
+    cfg = NTTConfig(field=GL, log_n=10, rows_log2=5, num_shards=4,
+                    negacyclic=True)
+    mesh = Mesh(np.array(jax.devices()[:4]), (cfg.mesh_axis,))
+    v = rng.integers(0, 1 << 63, cfg.n, dtype=np.uint64) % np.uint64(GL.p)
+    b = rng.integers(0, 1 << 63, cfg.n, dtype=np.uint64) % np.uint64(GL.p)
+    mono = build_gl_distributed_plan(cfg, mesh)
+    over = build_gl_distributed_plan(cfg, mesh, overlap_chunks=2)
+    f1 = mono.fwd(mono.shard_input(v))
+    f2 = over.fwd(over.shard_input(v))
+    assert np.array_equal(np.asarray(f1[0]), np.asarray(f2[0]))
+    assert np.array_equal(np.asarray(f1[1]), np.asarray(f2[1]))
+    bh, bl = over.inv(f2)
+    assert np.array_equal(
+        M.gl_to_u64(np.asarray(bh).reshape(-1), np.asarray(bl).reshape(-1)), v)
+    want = ref.schoolbook_negacyclic(v.astype(object), b.astype(object), GL.p)
+    for plan in (mono, over):
+        ch, cl = plan.negacyclic_polymul(plan.shard_input(v),
+                                         plan.shard_input(b))
+        got = M.gl_to_u64(np.asarray(ch).reshape(-1),
+                          np.asarray(cl).reshape(-1))
+        assert np.array_equal(got.astype(object), want.astype(object))
