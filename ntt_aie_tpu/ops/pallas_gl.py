@@ -53,8 +53,11 @@ def build_gl_colpass(
     ts = _stage_shapes(n1, direction)
     gmul = M.gl_mul if mul_impl == "schoolbook" else M.gl_mul_kara
     if block_lanes is None:
-        # Two limb planes double the live temporaries vs the 32-bit kernel.
-        block_lanes = max(128, min(256, (1 << 18) // max(n1, 1)))
+        # 512 lanes beats 256 by ~13% at n1=1024 on v5e (measured round 2:
+        # 379 vs 436 us/pass, B=64) — the two limb planes double live
+        # temporaries but still fit scoped VMEM at this width; 128 lanes
+        # is ~60% slower, 1024 untested territory left to callers.
+        block_lanes = max(128, min(512, (1 << 19) // max(n1, 1)))
     block_lanes = min(block_lanes, n2)
     assert n2 % block_lanes == 0
     grid = n2 // block_lanes
