@@ -308,10 +308,15 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
         if make_batched_cores is not None:
             bfwd_core, binv_core = make_batched_cores(B)
 
+            # gl_mul is ~70 elementwise lane-ops: dispatched eagerly
+            # between the compiled passes it costs ~70 tunnel round trips
+            # per call (the plan.py _pointwise lesson); jit it.
+            jgl_mul = jax.jit(M.gl_mul)
+
             def bmul_core(ah, al, bh, bl):
                 fah, fal = bfwd_core(ah, al)
                 fbh, fbl = bfwd_core(bh, bl)
-                ch, cl = M.gl_mul(fah, fal, fbh, fbl)
+                ch, cl = jgl_mul(fah, fal, fbh, fbl)
                 return binv_core(ch, cl)
 
             bfwd, binv, bmul = bfwd_core, binv_core, bmul_core

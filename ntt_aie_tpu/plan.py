@@ -116,9 +116,14 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             stacklevel=2,
         )
 
+    @jax.jit
     def _pointwise(fa, fb):
         """Spectral pointwise product (Montgomery leaves a stray R^-1 that
-        the iwmat_poly tables fold away in the poly-inverse)."""
+        the iwmat_poly tables fold away in the poly-inverse). Jitted: the
+        ~10 elementwise ops of a variable x variable modmul dispatched
+        eagerly cost 13x the fused kernel at the n=2^20 B=64 shape on the
+        tunneled backend (87.5 ms vs 6.5 ms per call, measured round 2)
+        and dominated polymul before this wrapper."""
         if kind == "montgomery":
             from ntt_aie_tpu.ops import modops as M
 
