@@ -20,6 +20,9 @@ All tables are computed in NumPy int64/object and delivered as uint32 (or
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
+
 import numpy as np
 
 from ntt_aie_tpu.fields import PrimeField, modpow
@@ -187,17 +190,7 @@ def spectral_positions(n1: int, n2: int) -> np.ndarray:
             + br1[None, :].astype(np.int32)).ravel()
 
 
-def fourstep_tables(field: PrimeField, n1: int, n2: int):
-    """The four-step plan's host tables, shared by every plan builder
-    (single-chip 32-bit, Goldilocks, distributed): returns a dict with
-
-      wmat         — forward twiddle matrix with the pass-1 output bit
-                     reversal baked into its rows (W[br1(r), j2]),
-      iwmat_scaled — inverse matrix likewise, additionally folding 1/n,
-      pos          — spectral_positions(n1, n2).
-
-    Entries are int64 for word primes, Python objects for Goldilocks.
-    """
+def _build_fourstep_tables(field: PrimeField, n1: int, n2: int):
     n = n1 * n2
     n_inv = field.inv(n)
     # One shared power table; the pass-1 bit reversal is folded into the
@@ -221,6 +214,120 @@ def fourstep_tables(field: PrimeField, n1: int, n2: int):
         "pos": spectral_positions(n1, n2),
         "n_inv": n_inv,
     }
+
+
+# ---- fourstep_tables caching ------------------------------------------------
+#
+# Plan setup is dominated by this build (DESIGN.md §3: ~6 s at the n=2^24
+# north-star shape even after the log-depth root_powers rebuild). The tables
+# are pure functions of (p, g, n1, n2), so they cache safely at two levels:
+#
+#   - in-process LRU: repeated plan builds in one process (CLI verify+bench,
+#     batched builders, the test suite) pay the build once per config. Cached
+#     arrays are returned read-only so an accidental in-place mutation raises
+#     instead of corrupting every later plan.
+#   - on-disk (opt-in): NTT_AIE_TPU_TABLE_CACHE=<dir> persists the two twiddle
+#     matrices across processes — a serving restart at n=2^24 then costs an
+#     np.load + a sampled correctness check instead of the rebuild. Word
+#     primes only (Goldilocks tables are Python-bignum object arrays, which
+#     npz cannot store without pickle; they keep the in-process memo).
+#     Loads are validated by recomputing 8 deterministic sample entries with
+#     scalar modpow — a corrupt or mismatched file falls back to a rebuild.
+#
+# The reference has no analog (its twiddle table is built at graph compile
+# time and broadcast, src/aie2.py:96-104); this is serving-restart
+# infrastructure for the large-n configs the reference never reaches.
+
+_FOURSTEP_MEMO: OrderedDict = OrderedDict()
+_FOURSTEP_MEMO_MAX = 8
+
+
+def _freeze_tables(tabs: dict) -> dict:
+    for v in tabs.values():
+        if isinstance(v, np.ndarray):
+            v.setflags(write=False)
+    return tabs
+
+
+def _fourstep_cache_path(field: PrimeField, n1: int, n2: int) -> str | None:
+    d = os.environ.get("NTT_AIE_TPU_TABLE_CACHE")
+    if not d or _tw_dtype(field.p) is object:
+        return None
+    return os.path.join(d, f"fourstep_p{field.p}_g{field.g}_{n1}x{n2}_v1.npz")
+
+
+def _fourstep_sample_check(field: PrimeField, n1: int, n2: int,
+                           wmat: np.ndarray, iwmat_scaled: np.ndarray) -> bool:
+    """Spot-check 8 deterministic entries of a loaded table pair against
+    direct scalar modpow (the ground-truth definition, not the vectorized
+    builder)."""
+    n, p = n1 * n2, field.p
+    w = field.root_of_unity(n)
+    n_inv = field.inv(n)
+    k1r = bit_reverse_indices(n1)
+    rs = np.random.default_rng(n1 * 31 + n2)
+    for _ in range(8):
+        r, c = int(rs.integers(n1)), int(rs.integers(n2))
+        e = (int(k1r[r]) * c) % n
+        if int(wmat[r, c]) != modpow(w, e, p):
+            return False
+        if int(iwmat_scaled[r, c]) != modpow(w, (n - e) % n, p) * n_inv % p:
+            return False
+    return True
+
+
+def fourstep_tables(field: PrimeField, n1: int, n2: int):
+    """The four-step plan's host tables, shared by every plan builder
+    (single-chip 32-bit, Goldilocks, distributed): returns a dict with
+
+      wmat         — forward twiddle matrix with the pass-1 output bit
+                     reversal baked into its rows (W[br1(r), j2]),
+      iwmat_scaled — inverse matrix likewise, additionally folding 1/n,
+      pos          — spectral_positions(n1, n2).
+
+    Entries are int64 for word primes, Python objects for Goldilocks.
+    Cached (in-process always; on disk when NTT_AIE_TPU_TABLE_CACHE is a
+    directory) — returned arrays are read-only; copy before mutating.
+    """
+    key = (field.p, field.g, n1, n2)
+    hit = _FOURSTEP_MEMO.get(key)
+    if hit is not None:
+        _FOURSTEP_MEMO.move_to_end(key)
+        return hit
+
+    tabs = None
+    path = _fourstep_cache_path(field, n1, n2)
+    if path is not None and os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                wmat = z["wmat"]
+                iwmat_scaled = z["iwmat_scaled"]
+            if (wmat.shape == (n1, n2) and iwmat_scaled.shape == (n1, n2)
+                    and _fourstep_sample_check(field, n1, n2, wmat,
+                                               iwmat_scaled)):
+                tabs = {"wmat": wmat, "iwmat_scaled": iwmat_scaled,
+                        "pos": spectral_positions(n1, n2),
+                        "n_inv": field.inv(n1 * n2)}
+        except Exception:
+            tabs = None  # unreadable/corrupt file -> rebuild below
+
+    if tabs is None:
+        tabs = _build_fourstep_tables(field, n1, n2)
+        if path is not None:
+            try:
+                os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                tmp = f"{path}.tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    np.savez(f, wmat=tabs["wmat"],
+                             iwmat_scaled=tabs["iwmat_scaled"])
+                os.replace(tmp, path)  # atomic: concurrent builders race safely
+            except OSError:
+                pass  # cache dir unwritable: serve the built tables anyway
+
+    _FOURSTEP_MEMO[key] = _freeze_tables(tabs)
+    while len(_FOURSTEP_MEMO) > _FOURSTEP_MEMO_MAX:
+        _FOURSTEP_MEMO.popitem(last=False)
+    return tabs
 
 
 def negacyclic_psi_powers(field: PrimeField, n: int, *, inverse: bool = False) -> np.ndarray:
