@@ -98,20 +98,27 @@ def build_gl_colpass(
             return net_dif(sh, sl, vecs[1:], tl) + net_dif(mh, ml, vecs[1:], tl)
 
         def net_dit(ah, al, vecs, tl):
+            # Whole-half vectorized like net_dif (see ops/pallas_ntt.py
+            # net_dit): the leaf-ordered twiddle vector reshaped to
+            # (half, tl) covers every leaf in one gmul/add/sub, replacing
+            # the per-leaf small-op loop. Bit-identical values.
             r = ah.shape[1]
             if r == 1:
                 return [(ah, al)]
             half = r // 2
             u_parts = net_dit(ah[:, :half], al[:, :half], vecs[:-1], tl)
             v_parts = net_dit(ah[:, half:], al[:, half:], vecs[:-1], tl)
-            outs_u, outs_v = [], []
-            for i, ((uh, ul), (vh, vl)) in enumerate(zip(u_parts, v_parts)):
-                wh = vecs[-1][0][i * tl : (i + 1) * tl].reshape(1, 1, tl, 1)
-                wl = vecs[-1][1][i * tl : (i + 1) * tl].reshape(1, 1, tl, 1)
-                wvh, wvl = gmul(vh, vl, wh, wl)
-                outs_u.append(M.gl_add(uh, ul, wvh, wvl))
-                outs_v.append(M.gl_sub(uh, ul, wvh, wvl))
-            return outs_u + outs_v
+
+            def cat(parts, j):
+                return (parts[0][j] if len(parts) == 1 else
+                        jnp.concatenate([p[j] for p in parts], axis=1))
+
+            uh, ul = cat(u_parts, 0), cat(u_parts, 1)
+            vh, vl = cat(v_parts, 0), cat(v_parts, 1)
+            wh = vecs[-1][0].reshape(1, half, tl, 1)
+            wl = vecs[-1][1].reshape(1, half, tl, 1)
+            wvh, wvl = gmul(vh, vl, wh, wl)
+            return [M.gl_add(uh, ul, wvh, wvl), M.gl_sub(uh, ul, wvh, wvl)]
 
         # Default radix-2: fusing deeper measured NO gain for Goldilocks on
         # v5e (gl_mul's ~70 lane-ops dwarf the per-stage concat, unlike the

@@ -76,21 +76,25 @@ def run_stages(x, tws: list, direction: str, red: Reduction, *,
         return net_dif(upper, vecs[1:], tl) + net_dif(lower, vecs[1:], tl)
 
     def net_dit(arr, vecs, tl):
-        # vecs[-1] = largest-stride stage (applied at this level).
+        # vecs[-1] = largest-stride stage (applied at this level). Whole-
+        # half vectorized like net_dif: the twiddle vector in leaf order
+        # IS wv reshaped (half, tl) (leaf i owns rows i*tl..(i+1)*tl), so
+        # one mul_const/add/sub over the concatenated halves replaces the
+        # per-leaf loop (radix small ops -> log2(radix) big ops per
+        # group; bit-identical element values).
         r = arr.shape[1]
         if r == 1:
             return [arr]
         half = r // 2
         u_parts = net_dit(arr[:, :half], vecs[:-1], tl)
         v_parts = net_dit(arr[:, half:], vecs[:-1], tl)
-        outs_u, outs_v = [], []
-        for i, (ui, vi) in enumerate(zip(u_parts, v_parts)):
-            w = tuple(wv[i * tl : (i + 1) * tl].reshape(1, 1, tl, 1)
-                      for wv in vecs[-1])
-            wv_i = red.mul_const(vi, *w)
-            outs_u.append(red.add(ui, wv_i))
-            outs_v.append(red.sub(ui, wv_i))
-        return outs_u + outs_v
+        u = u_parts[0] if len(u_parts) == 1 else jnp.concatenate(
+            u_parts, axis=1)
+        v = v_parts[0] if len(v_parts) == 1 else jnp.concatenate(
+            v_parts, axis=1)
+        w = tuple(wv.reshape(1, half, tl, 1) for wv in vecs[-1])
+        wv_ = red.mul_const(v, *w)
+        return [red.add(u, wv_), red.sub(u, wv_)]
 
     s = 0
     while s < logn:

@@ -498,3 +498,24 @@ def test_default_split_flat_small_n():
 def test_default_split_flat_cutoff_field_aware():
     assert NTTConfig(field=F.GOLDILOCKS, log_n=14).split == (1 << 14, 1)
     assert NTTConfig(field=F.GOLDILOCKS, log_n=16).split[1] > 1
+
+
+@pytest.mark.parametrize("direction", ["dif", "dit"])
+@pytest.mark.parametrize("reduction", ["harvey", "harvey4"])
+@pytest.mark.parametrize("fuse", [2, 3, 4])
+def test_colpass_fuse_levels_bit_identical(direction, reduction, fuse, rng):
+    """The radix-2^K fused stage groups (ops/pallas_ntt.run_stages) must be
+    bit-identical to the sequential radix-2 network (fuse=1) for BOTH
+    recursion directions — including raw lazy-domain values, since the
+    per-element op sequence is the same regardless of K. Guards the
+    whole-half vectorized net_dit restructure."""
+    from ntt_aie_tpu.ops import pallas_ntt as PN
+
+    field = F.P_469762049
+    n1, n2 = 64, 8
+    x = rng.integers(0, field.p, (n1, n2)).astype(np.uint32)
+    base = PN.make_colpass(field, n1, n2, reduction=reduction,
+                           direction=direction, interpret=True, fuse=1)
+    fused = PN.make_colpass(field, n1, n2, reduction=reduction,
+                            direction=direction, interpret=True, fuse=fuse)
+    assert np.array_equal(np.asarray(base(x)), np.asarray(fused(x)))
