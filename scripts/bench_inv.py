@@ -6,6 +6,8 @@ Run: python scripts/bench_inv.py [B]
 import json
 import sys
 
+sys.path.insert(0, "/root/repo")
+
 import numpy as np
 
 

@@ -1,0 +1,44 @@
+"""K-scan for the DIT (inverse) fused stage groups on the real TPU.
+
+Times one inverse column pass (n1=1024 points, DIT, harvey4) over a
+batched lane axis, for fuse levels 1/2/3/4 — mirrors the forward K scan
+in DESIGN.md §3. Run: python scripts/scan_dit_fuse.py [B]
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main() -> int:
+    import jax.numpy as jnp
+
+    from ntt_aie_tpu import P_469762049 as field
+    from ntt_aie_tpu.ops import pallas_ntt as PN
+    from ntt_aie_tpu.utils.timing import time_device
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    n1 = n2 = 1024
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.integers(0, field.p, (n1, n2 * B)).astype(np.uint32))
+
+    base_out = None
+    for fuse in (1, 2, 3, 4):
+        cp = PN.make_colpass(field, n1, n2 * B, reduction="harvey4",
+                             direction="dit", inverse_tw=True, fuse=fuse,
+                             batch=1)
+        out = np.asarray(cp(x))
+        if base_out is None:
+            base_out = out
+        else:
+            assert np.array_equal(out, base_out), f"fuse={fuse} mismatch"
+        res = time_device(cp, x, iters=10, repeats=5)
+        print(f"fuse={fuse}: {res['us_per_iter']:.1f} us/pass "
+              f"({res['us_per_iter']/B:.2f} us per 2^20-NTT share)")
+    return 0
+
+
+if __name__ == "__main__":
+    main()
