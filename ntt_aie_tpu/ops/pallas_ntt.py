@@ -75,26 +75,37 @@ def run_stages(x, tws: list, direction: str, red: Reduction, *,
         lower = red.mul_const(subm(u, v), *w)
         return net_dif(upper, vecs[1:], tl) + net_dif(lower, vecs[1:], tl)
 
-    def net_dit(arr, vecs, tl):
+    def net_dit(arr, vecs, tl, lazy=False):
         # vecs[-1] = largest-stride stage (applied at this level). Whole-
         # half vectorized like net_dif: the twiddle vector in leaf order
         # IS wv reshaped (half, tl) (leaf i owns rows i*tl..(i+1)*tl), so
         # one mul_const/add/sub over the concatenated halves replaces the
         # per-leaf loop (radix small ops -> log2(radix) big ops per
-        # group; bit-identical element values).
+        # group).
+        #
+        # lazy: this node's ENTIRE output feeds the parent's mul_const
+        # (it is a v-half subtree within the fused group), so the add/sub
+        # conditional corrections can be skipped where the reduction
+        # allows (Shoup accepts any x < 2^32; child-1 inputs stay
+        # corrected, so u + wv < 2*dom < 2^32). The group's top level is
+        # never lazy — group outputs stay in the travel domain. Raw
+        # lazy-domain bits then differ from the fuse=1 network (values
+        # stay congruent mod p and canonicalize identically).
         r = arr.shape[1]
         if r == 1:
             return [arr]
         half = r // 2
+        add_ = (red.add_for_mul if lazy and red.add_for_mul else red.add)
+        sub_ = (red.sub_for_mul if lazy and red.sub_for_mul else red.sub)
         u_parts = net_dit(arr[:, :half], vecs[:-1], tl)
-        v_parts = net_dit(arr[:, half:], vecs[:-1], tl)
+        v_parts = net_dit(arr[:, half:], vecs[:-1], tl, lazy=True)
         u = u_parts[0] if len(u_parts) == 1 else jnp.concatenate(
             u_parts, axis=1)
         v = v_parts[0] if len(v_parts) == 1 else jnp.concatenate(
             v_parts, axis=1)
         w = tuple(wv.reshape(1, half, tl, 1) for wv in vecs[-1])
         wv_ = red.mul_const(v, *w)
-        return [red.add(u, wv_), red.sub(u, wv_)]
+        return [add_(u, wv_), sub_(u, wv_)]
 
     s = 0
     while s < logn:

@@ -62,6 +62,10 @@ class Reduction:
     # Optional cheaper a-b whose result may exceed the domain but is legal
     # as mul_const input (Harvey: [0,4p) into Shoup). None = use sub.
     sub_for_mul: Callable | None = None
+    # Same for a+b (skip the conditional correction): only legal when the
+    # consumer is mul_const. Used by the DIT recursion for subtree outputs
+    # that feed the next level's twiddle multiply. None = use add.
+    add_for_mul: Callable | None = None
     # Optional variants for FULL-MATRIX constant operands (the four-step
     # wmat/wmid tables, n1 x n2 per table): trade a couple of in-kernel
     # unpack ops for fewer HBM-resident tables. None = use the regular
@@ -154,6 +158,10 @@ def make_reduction(kind: str, field) -> Reduction:
             # Saves the compare+select of sub() on the butterfly's mul path.
             return jnp.asarray(a, jnp.uint32) + (p2 - b)
 
+        def add_lazy(a, b):
+            # a + b in [0, 4p) (< 2^32 for p < 2^30): legal Shoup input.
+            return jnp.asarray(a, jnp.uint32) + b
+
         def muld(x, y):
             # canonical product of possibly-lazy inputs: REDC valid since
             # x*y < 4p^2 < p*2^32 (p < 2^30), then Montgomery-form fixup.
@@ -174,6 +182,7 @@ def make_reduction(kind: str, field) -> Reduction:
             name="harvey", p=p, lazy=True, n_tables=2,
             prepare_table=prep, mul_const=mulc, mul_data=muld,
             add=add, sub=sub, canonicalize=canon, sub_for_mul=sub_lazy,
+            add_for_mul=add_lazy,
         )
 
     if kind == "harvey4":
@@ -214,6 +223,10 @@ def make_reduction(kind: str, field) -> Reduction:
             # a - b in [0, 8p) (< 2^32 for p < 2^29): legal Shoup input.
             return jnp.asarray(a, jnp.uint32) + (p4 - b)
 
+        def add_lazy(a, b):
+            # a + b in [0, 8p) (< 2^32 for p < 2^29): legal Shoup input.
+            return jnp.asarray(a, jnp.uint32) + b
+
         def muld(x, y):
             # canonical product: canonicalize lazy inputs first so the
             # REDC bound x*y < p*2^32 holds (x, y < p after folding).
@@ -251,6 +264,7 @@ def make_reduction(kind: str, field) -> Reduction:
             name="harvey4", p=p, lazy=True, n_tables=3,
             prepare_table=prep, mul_const=mulc, mul_data=muld,
             add=add, sub=sub, canonicalize=canon, sub_for_mul=sub_lazy,
+            add_for_mul=add_lazy,
             n_tables_mat=2, prepare_table_mat=prep_mat,
             mul_const_mat=mulc_mat,
         )

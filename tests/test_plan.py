@@ -503,13 +503,17 @@ def test_default_split_flat_cutoff_field_aware():
 @pytest.mark.parametrize("direction", ["dif", "dit"])
 @pytest.mark.parametrize("reduction", ["harvey", "harvey4"])
 @pytest.mark.parametrize("fuse", [2, 3, 4])
-def test_colpass_fuse_levels_bit_identical(direction, reduction, fuse, rng):
-    """The radix-2^K fused stage groups (ops/pallas_ntt.run_stages) must be
-    bit-identical to the sequential radix-2 network (fuse=1) for BOTH
-    recursion directions — including raw lazy-domain values, since the
-    per-element op sequence is the same regardless of K. Guards the
-    whole-half vectorized net_dit restructure."""
+def test_colpass_fuse_levels_match(direction, reduction, fuse, rng):
+    """The radix-2^K fused stage groups (ops/pallas_ntt.run_stages) must
+    match the sequential radix-2 network (fuse=1) for BOTH recursion
+    directions. DIF raw lazy-domain bits are identical (same per-element
+    op sequence regardless of K). DIT subtree outputs that feed the next
+    level's multiply legally skip their conditional corrections inside a
+    group (add_for_mul/sub_for_mul), so fused raw bits differ from fuse=1
+    by multiples of p — canonical values must still be bit-equal. Guards
+    the whole-half vectorized net_dit restructure + the lazy skip."""
     from ntt_aie_tpu.ops import pallas_ntt as PN
+    from ntt_aie_tpu.ops.reductions import make_reduction
 
     field = F.P_469762049
     n1, n2 = 64, 8
@@ -518,4 +522,14 @@ def test_colpass_fuse_levels_bit_identical(direction, reduction, fuse, rng):
                            direction=direction, interpret=True, fuse=1)
     fused = PN.make_colpass(field, n1, n2, reduction=reduction,
                             direction=direction, interpret=True, fuse=fuse)
-    assert np.array_equal(np.asarray(base(x)), np.asarray(fused(x)))
+    got_b, got_f = np.asarray(base(x)), np.asarray(fused(x))
+    if direction == "dif":
+        assert np.array_equal(got_b, got_f)
+    else:
+        red = make_reduction(reduction, field)
+        canon = lambda a: np.asarray(red.canonicalize(jnp.asarray(a)))
+        assert np.array_equal(canon(got_b), canon(got_f))
+        # group top levels are never lazy: raw colpass output stays in
+        # the travel domain
+        dom = 4 * field.p if reduction == "harvey4" else 2 * field.p
+        assert int(got_f.max()) < dom
