@@ -137,6 +137,12 @@ def build_colpass(
     transpose_out: bool = False,
     interpret: bool = False,
     fuse: int = 3,
+    wfac_pos: str = "none",  # 'none' | 'pre' | 'post': FACTORED four-step
+    # twiddle multiply (twiddles.fourstep_wfac_T): rows split c = c1*S + c0,
+    # applied as TWO chained broadcast constant-multiplies against
+    # (n1/S + S) x block_lanes tables instead of one n1 x block_lanes
+    # matrix — ~sqrt(n1)/2 x less twiddle HBM traffic per slab.
+    wfac_split: int = 0,  # S; required when wfac_pos != 'none'
 ):
     """Returns a pallas_call fn(x, *stage_tw_cols, *[wmat tables]) -> y
     running all butterfly stages (and optionally the four-step twiddle
@@ -145,7 +151,9 @@ def build_colpass(
     x: (n1, n2) uint32 — or (batch, n1, n2) when batch > 1 (the batch rides
     an inner grid axis so shared tables are fetched once per lane-slab, not
     once per batch element). Each stage twiddle is red.n_tables arrays of
-    shape (t_s, 1); wmat is red.n_tables arrays of shape (n1, n2).
+    shape (t_s, 1); wmat is red.n_tables arrays of shape (n1, n2); factored
+    operands (wfac_pos) are red.n_tables arrays of (n1/S, n2) plus
+    red.n_tables of (S, n2).
 
     transpose_out=True writes each slab transposed to the mirrored block of
     a (n2, n1) output — the four-step transpose fused into the pass for
@@ -166,6 +174,11 @@ def build_colpass(
     ntm = red.mat_tables  # full-matrix operands may use a packed form
     n_wm1 = ntm if twiddle_pos != "none" else 0
     n_wm2 = ntm if twiddle_pos2 != "none" else 0
+    S = wfac_split
+    if wfac_pos != "none":
+        if not (0 < S < n1 and n1 % S == 0):
+            raise ValueError(f"wfac_split {S} must divide rows n1={n1}")
+    n_wf = 2 * nt if wfac_pos != "none" else 0
 
     def kernel(*refs):
         x_ref = refs[0]
@@ -173,7 +186,19 @@ def build_colpass(
         idx = 1 + logn * nt
         wmat_refs = refs[idx : idx + n_wm1]
         wmat2_refs = refs[idx + n_wm1 : idx + n_wm1 + n_wm2]
+        wfac_refs = refs[idx + n_wm1 + n_wm2 : idx + n_wm1 + n_wm2 + n_wf]
         out_ref = refs[-1]
+
+        def apply_wfac(x):
+            # x rows are the linear exponent axis c = c1*S + c0: multiply
+            # by T1[c1] broadcast over c0, then T2[c0] broadcast over c1.
+            # Two Shoup muls per element against (n1/S + S)-row tables.
+            rr, cc = x.shape
+            xr = x.reshape(rr // S, S, cc)
+            w1 = tuple(r[:].reshape(rr // S, 1, cc) for r in wfac_refs[:nt])
+            w2 = tuple(r[:].reshape(1, S, cc) for r in wfac_refs[nt:])
+            xr = red.mul_const(red.mul_const(xr, *w1), *w2)
+            return xr.reshape(rr, cc)
 
         x = x_ref[:]
         if batch > 1:
@@ -184,6 +209,8 @@ def build_colpass(
         if twiddle_pos2 == "pre":
             wm = tuple(r[:].reshape(x.shape) for r in wmat2_refs)
             x = red.mulc_mat(x, *wm)
+        if wfac_pos == "pre":
+            x = apply_wfac(x)
 
         tws = [tuple(tw_refs[s * nt + k][:] for k in range(nt))
                for s in range(logn)]
@@ -194,6 +221,8 @@ def build_colpass(
         if twiddle_pos2 == "post":
             wm = tuple(r[:].reshape(x.shape) for r in wmat2_refs)
             x = red.mulc_mat(x, *wm)
+        if wfac_pos == "post":
+            x = apply_wfac(x)
         if canonicalize:
             x = red.canonicalize(x)
         if transpose_out:
@@ -207,6 +236,11 @@ def build_colpass(
         x_spec = pl.BlockSpec((n1, block_lanes), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
         wmat_spec = x_spec
+        wfac_specs = ([pl.BlockSpec((n1 // S, block_lanes), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)] * nt
+                      + [pl.BlockSpec((S, block_lanes), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM)] * nt
+                      ) if n_wf else []
         tw_specs = [
             pl.BlockSpec((t, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
             for t in ts for _ in range(nt)
@@ -224,6 +258,12 @@ def build_colpass(
                               memory_space=pltpu.VMEM)
         wmat_spec = pl.BlockSpec((n1, block_lanes), lambda i, b: (0, i),
                                  memory_space=pltpu.VMEM)
+        wfac_specs = ([pl.BlockSpec((n1 // S, block_lanes),
+                                    lambda i, b: (0, i),
+                                    memory_space=pltpu.VMEM)] * nt
+                      + [pl.BlockSpec((S, block_lanes), lambda i, b: (0, i),
+                                      memory_space=pltpu.VMEM)] * nt
+                      ) if n_wf else []
         tw_specs = [
             pl.BlockSpec((t, 1), lambda i, b: (0, 0), memory_space=pltpu.VMEM)
             for t in ts for _ in range(nt)
@@ -238,6 +278,7 @@ def build_colpass(
         full_grid = (grid, batch)
     in_specs = [x_spec] + tw_specs
     in_specs.extend([wmat_spec] * (n_wm1 + n_wm2))
+    in_specs.extend(wfac_specs)
 
     butterflies = (n1 // 2) * logn * block_lanes
     return pl.pallas_call(
@@ -262,7 +303,8 @@ class PallasColpass:
     """Bundles the pallas_call with its prepared twiddle operands."""
 
     def __init__(self, fn, tw_cols: list, wmat_tables: tuple | None,
-                 wmat2_tables: tuple | None = None):
+                 wmat2_tables: tuple | None = None,
+                 wfac_tables: tuple | None = None):
         self.fn = fn
         self.tw_cols = [jnp.asarray(t) for t in tw_cols]
         self.wmat = (
@@ -271,6 +313,9 @@ class PallasColpass:
         self.wmat2 = (
             tuple(jnp.asarray(w) for w in wmat2_tables) if wmat2_tables else None
         )
+        self.wfac = (
+            tuple(jnp.asarray(w) for w in wfac_tables) if wfac_tables else None
+        )
 
     def __call__(self, x):
         args = [x] + self.tw_cols
@@ -278,6 +323,8 @@ class PallasColpass:
             args.extend(self.wmat)
         if self.wmat2 is not None:
             args.extend(self.wmat2)
+        if self.wfac is not None:
+            args.extend(self.wfac)
         return self.fn(*args)
 
 
@@ -299,12 +346,18 @@ def make_colpass(
     batch: int = 1,
     transpose_out: bool = False,
     fuse: int = 3,
+    wfac: tuple | None = None,
+    wfac_pos: str = "none",
 ) -> PallasColpass:
     """Build a column pass for n1-point NTTs over an (n1, n2) matrix.
 
     wmat/wmat2: optional host-side int64/object (n1, n2) twiddle matrices
     (any bit-reversal baked in by the caller), applied at their positions
     (e.g. wmat 'pre' four-step matrix + wmat2 'post' psi^-1 scaling).
+    wfac: factored alternative to wmat — (T1, T2) host matrices from
+    twiddles.fourstep_wfac_T with T1 (n1/S, n2), T2 (S, n2); applied at
+    wfac_pos as two chained constant multiplies (same values mod p,
+    ~S x less twiddle traffic).
     """
     from ntt_aie_tpu import twiddles as tw
 
@@ -319,6 +372,12 @@ def make_colpass(
             tw_cols.append(np.ascontiguousarray(tab.reshape(-1, 1)))
     wmat_tables = red.prep_mat(wmat) if wmat is not None else None
     wmat2_tables = red.prep_mat(wmat2) if wmat2 is not None else None
+    wfac_tables = None
+    wfac_split = 0
+    if wfac is not None:
+        t1, t2 = wfac
+        wfac_split = n1 // t1.shape[0]
+        wfac_tables = tuple(red.prepare_table(t1)) + tuple(red.prepare_table(t2))
     fn = build_colpass(
         n1=n1,
         n2=n2,
@@ -332,8 +391,10 @@ def make_colpass(
         batch=batch,
         transpose_out=transpose_out,
         fuse=fuse,
+        wfac_pos=wfac_pos if wfac is not None else "none",
+        wfac_split=wfac_split,
     )
-    return PallasColpass(fn, tw_cols, wmat_tables, wmat2_tables)
+    return PallasColpass(fn, tw_cols, wmat_tables, wmat2_tables, wfac_tables)
 
 
 def build_fused_fourstep(

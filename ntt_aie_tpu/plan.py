@@ -80,13 +80,22 @@ def _dev(tables: tuple) -> tuple:
 
 
 def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = False,
-               fused: bool = False) -> Plan:
+               fused: bool = False, wmat_factored: bool | None = None) -> Plan:
     """engine: 'auto' (pallas on TPU, xla elsewhere), 'pallas', 'xla'.
 
     fused=True (pallas engine only) runs BOTH four-step passes in one
     whole-matrix kernel (ops/pallas_ntt.build_fused_fourstep). Off by
     default: interleaved A/B on the shared v5e measured parity at best;
     the caller owns the VMEM bound (~12x the matrix size).
+
+    wmat_factored=True (pallas engine) applies the four-step twiddle
+    multiply from factored tables (twiddles.fourstep_wfac_T: two chained
+    constant multiplies against ~sqrt(n2)-row tables instead of one full
+    n1 x n2 matrix — ~16x less twiddle HBM traffic at n=2^20). The
+    inverse multiply then rides pass icp2 as 'post' (pre-transpose
+    orientation, where rows are the linear exponent axis) instead of
+    icp1 'pre'. None = current measured default (False until the real-
+    chip A/B lands). Identical canonical outputs either way (tested).
     """
     field = config.field
     kind = resolve_kind(config.reduction, field)
@@ -155,30 +164,75 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         # multiply on the transposed matrix: fusing post-twiddle and
         # transposed output into one kernel measured 4x slower than either
         # alone on v5e, while pre-twiddle + plain output is free.
-        cp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dif",
-                              transpose_out=True, interpret=interpret)
-        cp2 = PN.make_colpass(field, n2, n1, reduction=kind, direction="dif",
-                              wmat=np.ascontiguousarray(wmat.T), twiddle_pos="pre",
-                              canonicalize=True, interpret=interpret)
-        icp2 = PN.make_colpass(field, n2, n1, reduction=kind, direction="dit",
-                               inverse_tw=True, transpose_out=True, interpret=interpret)
-        icp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
-                               inverse_tw=True, wmat=iwmat_scaled, twiddle_pos="pre",
-                               canonicalize=True, interpret=interpret)
-        icp1_poly = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
-                                    inverse_tw=True, wmat=iwmat_poly, twiddle_pos="pre",
-                                    canonicalize=True, interpret=interpret)
+        wfac_on = bool(wmat_factored) if wmat_factored is not None else False
+        n_inv = tabs["n_inv"]
+        inv_scale_poly = (n_inv * field.mont_r_mod_p % p
+                          if kind == "montgomery" else n_inv)
+        if wfac_on:
+            wf_f = tw.fourstep_wfac_T(field, n1, n2)
+            wf_i = tw.fourstep_wfac_T(field, n1, n2, inverse=True,
+                                      scale=n_inv)
+            wf_ip = (wf_i if inv_scale_poly == n_inv else
+                     tw.fourstep_wfac_T(field, n1, n2, inverse=True,
+                                        scale=inv_scale_poly))
+
+        def _mk_passes(B=1):
+            """The four shared column passes (+ poly-inverse variant), at
+            batch B. In factored mode the twiddle multiply stays on the
+            pass whose ROWS are the linear exponent axis: cp2 'pre'
+            (unchanged) and icp2 'post' (pre-transpose) instead of icp1
+            'pre' — same elementwise multiply, transposed indexing."""
+            kw = dict(reduction=kind, batch=B, interpret=interpret)
+            cp1_ = PN.make_colpass(field, n1, n2, direction="dif",
+                                   transpose_out=True, **kw)
+            if wfac_on:
+                cp2_ = PN.make_colpass(field, n2, n1, direction="dif",
+                                       wfac=wf_f, wfac_pos="pre",
+                                       canonicalize=True, **kw)
+                icp2_ = PN.make_colpass(field, n2, n1, direction="dit",
+                                        inverse_tw=True, wfac=wf_i,
+                                        wfac_pos="post", transpose_out=True,
+                                        **kw)
+                icp2p_ = (icp2_ if wf_ip is wf_i else
+                          PN.make_colpass(field, n2, n1, direction="dit",
+                                          inverse_tw=True, wfac=wf_ip,
+                                          wfac_pos="post", transpose_out=True,
+                                          **kw))
+                icp1_ = PN.make_colpass(field, n1, n2, direction="dit",
+                                        inverse_tw=True, canonicalize=True,
+                                        **kw)
+                icp1p_ = icp1_
+            else:
+                cp2_ = PN.make_colpass(field, n2, n1, direction="dif",
+                                       wmat=np.ascontiguousarray(wmat.T),
+                                       twiddle_pos="pre", canonicalize=True,
+                                       **kw)
+                icp2_ = PN.make_colpass(field, n2, n1, direction="dit",
+                                        inverse_tw=True, transpose_out=True,
+                                        **kw)
+                icp2p_ = icp2_
+                icp1_ = PN.make_colpass(field, n1, n2, direction="dit",
+                                        inverse_tw=True, wmat=iwmat_scaled,
+                                        twiddle_pos="pre", canonicalize=True,
+                                        **kw)
+                icp1p_ = PN.make_colpass(field, n1, n2, direction="dit",
+                                         inverse_tw=True, wmat=iwmat_poly,
+                                         twiddle_pos="pre", canonicalize=True,
+                                         **kw)
+            return cp1_, cp2_, icp2_, icp2p_, icp1_, icp1p_
+
+        cp1, cp2, icp2, icp2p, icp1, icp1_poly = _mk_passes()
 
         def fwd_fn(a):
             x = a.astype(jnp.uint32).reshape(n1, n2)
             return cp2(cp1(x)).reshape(n)
 
-        def _inv_core(a, icp1_):
+        def _inv_core(a, icp2_, icp1_):
             x = a.astype(jnp.uint32).reshape(n2, n1)
-            return icp1_(icp2(x)).reshape(n)
+            return icp1_(icp2_(x)).reshape(n)
 
-        inv_fn = lambda a: _inv_core(a, icp1)  # noqa: E731
-        inv_poly_fn = lambda a: _inv_core(a, icp1_poly)  # noqa: E731
+        inv_fn = lambda a: _inv_core(a, icp2, icp1)  # noqa: E731
+        inv_poly_fn = lambda a: _inv_core(a, icp2p, icp1_poly)  # noqa: E731
 
         fused_ok = fused  # see build_plan docstring
         if fused_ok:
@@ -239,20 +293,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                 out["inv"] = inv_b
                 return out
 
-            cp1b = PN.make_colpass(field, n1, n2, reduction=kind, direction="dif",
-                                   batch=B, transpose_out=True, interpret=interpret)
-            cp2b = PN.make_colpass(field, n2, n1, reduction=kind, direction="dif",
-                                   wmat=np.ascontiguousarray(wmat.T), twiddle_pos="pre",
-                                   canonicalize=True, batch=B, interpret=interpret)
-            icp2b = PN.make_colpass(field, n2, n1, reduction=kind, direction="dit",
-                                    inverse_tw=True, batch=B, transpose_out=True,
-                                    interpret=interpret)
-            icp1b = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
-                                    inverse_tw=True, wmat=iwmat_scaled, twiddle_pos="pre",
-                                    canonicalize=True, batch=B, interpret=interpret)
-            icp1pb = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
-                                     inverse_tw=True, wmat=iwmat_poly, twiddle_pos="pre",
-                                     canonicalize=True, batch=B, interpret=interpret)
+            cp1b, cp2b, icp2b, icp2pb, icp1b, icp1pb = _mk_passes(B)
 
             # B == 1 builds the unbatched 2-D kernels (no batch grid axis),
             # so the reshape must drop the leading dim in that case.
@@ -260,9 +301,9 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                 x = _u32cast(a).reshape((n1, n2) if B == 1 else (B, n1, n2))
                 return cp2b(cp1b(x)).reshape(B, n)
 
-            def inv_b_core(a, icp):
+            def inv_b_core(a, icp2_, icp):
                 x = _u32cast(a).reshape((n2, n1) if B == 1 else (B, n2, n1))
-                return icp(icp2b(x)).reshape(B, n)
+                return icp(icp2_(x)).reshape(B, n)
 
             # _fwd early-binds the raw spectral-order fwd_b: the natural-
             # ordering wrapper rebinds the fwd_b NAME below, and pointwise
@@ -271,13 +312,13 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                 fa = _fwd(a)
                 fb = _fwd(b)
                 fc = _pointwise(fa, fb)
-                return inv_b_core(fc, icp1pb)
+                return inv_b_core(fc, icp2pb, icp1pb)
 
             # NOT jit-wrapped: on the tunneled axon backend an explicit jit
             # wrapper around pallas custom-calls adds ~28 ms per dispatch
             # (remote-compile round trip); the bare composition dispatches
             # each kernel through the fast path. Callers can still jit.
-            inv_b = lambda a: inv_b_core(a, icp1b)  # noqa: E731
+            inv_b = lambda a: inv_b_core(a, icp2b, icp1b)  # noqa: E731
             out = {"polymul": polymul_b}
             if config.negacyclic:
                 psi_mat = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
@@ -287,12 +328,22 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                                         direction="dif", wmat=psi_mat,
                                         twiddle_pos="pre", transpose_out=True,
                                         batch=B, interpret=interpret)
-                nicp1b = PN.make_colpass(field, n1, n2, reduction=kind,
-                                         direction="dit", inverse_tw=True,
-                                         wmat=iwmat_poly, twiddle_pos="pre",
-                                         wmat2=psi_inv_mat, twiddle_pos2="post",
-                                         canonicalize=True, batch=B,
-                                         interpret=interpret)
+                if wfac_on:
+                    # the poly-scale four-step multiply already rode
+                    # icp2pb 'post'; the last pass only adds psi^-1
+                    nicp1b = PN.make_colpass(field, n1, n2, reduction=kind,
+                                             direction="dit", inverse_tw=True,
+                                             wmat2=psi_inv_mat,
+                                             twiddle_pos2="post",
+                                             canonicalize=True, batch=B,
+                                             interpret=interpret)
+                else:
+                    nicp1b = PN.make_colpass(field, n1, n2, reduction=kind,
+                                             direction="dit", inverse_tw=True,
+                                             wmat=iwmat_poly, twiddle_pos="pre",
+                                             wmat2=psi_inv_mat, twiddle_pos2="post",
+                                             canonicalize=True, batch=B,
+                                             interpret=interpret)
 
                 def nega_b(a, b):
                     sh = (n1, n2) if B == 1 else (B, n1, n2)
@@ -300,7 +351,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                     fb = cp2b(ncp1b(_u32cast(b).reshape(sh))).reshape(B, n)
                     fc = _pointwise(fa, fb)
                     ish = (n2, n1) if B == 1 else (B, n2, n1)
-                    return nicp1b(icp2b(fc.reshape(ish))).reshape(B, n)
+                    return nicp1b(icp2pb(fc.reshape(ish))).reshape(B, n)
 
                 out["negacyclic_polymul"] = nega_b
             if config.ordering == "natural":
@@ -459,17 +510,25 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             ncp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dif",
                                    wmat=psi_mat, twiddle_pos="pre",
                                    transpose_out=True, interpret=interpret)
-            nicp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dit",
-                                    inverse_tw=True, wmat=iwmat_poly, twiddle_pos="pre",
-                                    wmat2=psi_inv_mat, twiddle_pos2="post",
-                                    canonicalize=True, interpret=interpret)
+            if wfac_on:
+                # four-step poly-scale multiply already rides icp2p 'post'
+                nicp1 = PN.make_colpass(field, n1, n2, reduction=kind,
+                                        direction="dit", inverse_tw=True,
+                                        wmat2=psi_inv_mat, twiddle_pos2="post",
+                                        canonicalize=True, interpret=interpret)
+            else:
+                nicp1 = PN.make_colpass(field, n1, n2, reduction=kind,
+                                        direction="dit", inverse_tw=True,
+                                        wmat=iwmat_poly, twiddle_pos="pre",
+                                        wmat2=psi_inv_mat, twiddle_pos2="post",
+                                        canonicalize=True, interpret=interpret)
 
             def _nega_fwd(a):
                 x = a.astype(jnp.uint32).reshape(n1, n2)
                 return cp2(ncp1(x)).reshape(n)
 
             def _nega_inv(fc):
-                return nicp1(icp2(fc.reshape(n2, n1))).reshape(n)
+                return nicp1(icp2p(fc.reshape(n2, n1))).reshape(n)
 
         def nega_fn(a, b):
             fa = _nega_fwd(a)

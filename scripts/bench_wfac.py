@@ -1,0 +1,53 @@
+"""A/B: factored four-step twiddle tables vs full matrix, real TPU.
+
+Times batched fwd / inv / polymul at n=2^20 for wmat_factored True/False.
+Run: python scripts/bench_wfac.py [B]
+"""
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main() -> int:
+    import jax.numpy as jnp
+
+    from ntt_aie_tpu import NTTConfig, P_469762049 as field
+    from ntt_aie_tpu.plan import build_plan
+    from ntt_aie_tpu.utils.timing import time_device
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    log_n = 20
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.integers(0, field.p, (B, n)).astype(np.uint32))
+    ys = jnp.asarray(rng.integers(0, field.p, (B, n)).astype(np.uint32))
+
+    ref_out = None
+    for mode in (False, True):
+        cfg = NTTConfig(field=field, log_n=log_n)
+        plan = build_plan(cfg, engine="pallas", wmat_factored=mode)
+        bat = plan.make_batched(B)
+        out = {"mode": "factored" if mode else "full", "B": B}
+        res = time_device(bat["fwd"], xs, iters=10, repeats=5)
+        out["fwd_us_per_ntt"] = round(res["us_per_iter"] / B, 1)
+        res = time_device(bat["inv"], xs, iters=10, repeats=5)
+        out["inv_us_per_ntt"] = round(res["us_per_iter"] / B, 1)
+        res = time_device(lambda a: bat["polymul"](a, ys), xs,
+                          iters=10, repeats=5)
+        out["polymul_us_per_poly"] = round(res["us_per_iter"] / B, 1)
+        got = np.asarray(bat["fwd"](xs))
+        if ref_out is None:
+            ref_out = got
+        else:
+            out["bit_exact_vs_full"] = bool(np.array_equal(got, ref_out))
+        rt = np.asarray(bat["inv"](bat["fwd"](xs)))[0]
+        out["roundtrip_ok"] = bool(np.array_equal(rt, np.asarray(xs[0])))
+        print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -533,3 +533,59 @@ def test_colpass_fuse_levels_match(direction, reduction, fuse, rng):
         # the travel domain
         dom = 4 * field.p if reduction == "harvey4" else 2 * field.p
         assert int(got_f.max()) < dom
+
+
+def test_fourstep_wfac_product_matches_wmat():
+    """fourstep_wfac_T factor product must equal the full wmat (and the
+    scaled inverse matrix) entrywise mod p — the factored kernel path is
+    only correct if the factorization is (twiddles.fourstep_wfac_T)."""
+    field = F.P_469762049
+    n1, n2 = 32, 128
+    tabs = tw.fourstep_tables(field, n1, n2)
+    for inverse, full in ((False, tabs["wmat"].T),
+                          (True, tabs["iwmat_scaled"].T)):
+        t1, t2 = tw.fourstep_wfac_T(
+            field, n1, n2, inverse=inverse,
+            scale=tabs["n_inv"] if inverse else None)
+        S = n2 // t1.shape[0]
+        assert t2.shape[0] == S and t1.shape[1] == t2.shape[1] == n1
+        got = (t1[:, None, :].astype(object) * t2[None, :, :]
+               % field.p).reshape(n2, n1)
+        assert np.array_equal(got.astype(np.int64), np.asarray(full))
+
+
+@pytest.mark.parametrize("redkind,field", [
+    ("harvey4", F.P_469762049),
+    ("harvey", F.P_998244353),
+    ("montgomery", F.P_2013265921),
+])
+def test_plan_wmat_factored_matches_full(redkind, field, rng):
+    """wmat_factored plans must produce bit-identical canonical outputs to
+    the full-matrix plans for fwd/inv/polymul/negacyclic, unbatched and
+    batched (the factored multiply is two chained constant multiplies
+    against sqrt-size tables; values agree mod p by construction)."""
+    from ntt_aie_tpu.plan import build_plan
+
+    cfg = NTTConfig(field=field, log_n=10, rows_log2=5, reduction=redkind,
+                    negacyclic=True)
+    pf = build_plan(cfg, engine="pallas", interpret=True, wmat_factored=True)
+    pl = build_plan(cfg, engine="pallas", interpret=True, wmat_factored=False)
+    a = rng.integers(0, field.p, cfg.n).astype(np.uint32)
+    b = rng.integers(0, field.p, cfg.n).astype(np.uint32)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    assert np.array_equal(np.asarray(pf.fwd(aj)), np.asarray(pl.fwd(aj)))
+    assert np.array_equal(np.asarray(pf.inv(pf.fwd(aj))), a)
+    assert np.array_equal(np.asarray(pf.polymul(aj, bj)),
+                          np.asarray(pl.polymul(aj, bj)))
+    assert np.array_equal(np.asarray(pf.negacyclic_polymul(aj, bj)),
+                          np.asarray(pl.negacyclic_polymul(aj, bj)))
+    B = 2
+    bf, blt = pf.make_batched(B), pl.make_batched(B)
+    ab = rng.integers(0, field.p, (B, cfg.n)).astype(np.uint32)
+    bb = rng.integers(0, field.p, (B, cfg.n)).astype(np.uint32)
+    abj, bbj = jnp.asarray(ab), jnp.asarray(bb)
+    assert np.array_equal(np.asarray(bf["fwd"](abj)),
+                          np.asarray(blt["fwd"](abj)))
+    assert np.array_equal(np.asarray(bf["inv"](bf["fwd"](abj))), ab)
+    assert np.array_equal(np.asarray(bf["negacyclic_polymul"](abj, bbj)),
+                          np.asarray(blt["negacyclic_polymul"](abj, bbj)))
