@@ -143,6 +143,10 @@ def build_colpass(
     # (n1/S + S) x block_lanes tables instead of one n1 x block_lanes
     # matrix — ~sqrt(n1)/2 x less twiddle HBM traffic per slab.
     wfac_split: int = 0,  # S; required when wfac_pos != 'none'
+    rank1_pos: str = "none",  # 'none' | 'pre' | 'post': rank-1 elementwise
+    # multiply row_factor[r] * col_factor[c] (e.g. the negacyclic psi
+    # matrix, which is exactly rank-1) — two broadcast constant multiplies
+    # against (n1 + n2)-entry vectors instead of an n1 x n2 matrix.
 ):
     """Returns a pallas_call fn(x, *stage_tw_cols, *[wmat tables]) -> y
     running all butterfly stages (and optionally the four-step twiddle
@@ -179,6 +183,7 @@ def build_colpass(
         if not (0 < S < n1 and n1 % S == 0):
             raise ValueError(f"wfac_split {S} must divide rows n1={n1}")
     n_wf = 2 * nt if wfac_pos != "none" else 0
+    n_r1 = 2 * nt if rank1_pos != "none" else 0
 
     def kernel(*refs):
         x_ref = refs[0]
@@ -187,7 +192,15 @@ def build_colpass(
         wmat_refs = refs[idx : idx + n_wm1]
         wmat2_refs = refs[idx + n_wm1 : idx + n_wm1 + n_wm2]
         wfac_refs = refs[idx + n_wm1 + n_wm2 : idx + n_wm1 + n_wm2 + n_wf]
+        r1_refs = refs[idx + n_wm1 + n_wm2 + n_wf :
+                       idx + n_wm1 + n_wm2 + n_wf + n_r1]
         out_ref = refs[-1]
+
+        def apply_rank1(x):
+            rr, cc = x.shape
+            w_r = tuple(r[:].reshape(rr, 1) for r in r1_refs[:nt])
+            w_c = tuple(r[:].reshape(1, cc) for r in r1_refs[nt:])
+            return red.mul_const(red.mul_const(x, *w_r), *w_c)
 
         def apply_wfac(x):
             # x rows are the linear exponent axis c = c1*S + c0: multiply
@@ -211,6 +224,8 @@ def build_colpass(
             x = red.mulc_mat(x, *wm)
         if wfac_pos == "pre":
             x = apply_wfac(x)
+        if rank1_pos == "pre":
+            x = apply_rank1(x)
 
         tws = [tuple(tw_refs[s * nt + k][:] for k in range(nt))
                for s in range(logn)]
@@ -223,6 +238,8 @@ def build_colpass(
             x = red.mulc_mat(x, *wm)
         if wfac_pos == "post":
             x = apply_wfac(x)
+        if rank1_pos == "post":
+            x = apply_rank1(x)
         if canonicalize:
             x = red.canonicalize(x)
         if transpose_out:
@@ -241,6 +258,11 @@ def build_colpass(
                       + [pl.BlockSpec((S, block_lanes), lambda i: (0, i),
                                       memory_space=pltpu.VMEM)] * nt
                       ) if n_wf else []
+        rank1_specs = ([pl.BlockSpec((n1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)] * nt
+                       + [pl.BlockSpec((1, block_lanes), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)] * nt
+                       ) if n_r1 else []
         tw_specs = [
             pl.BlockSpec((t, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
             for t in ts for _ in range(nt)
@@ -264,6 +286,11 @@ def build_colpass(
                       + [pl.BlockSpec((S, block_lanes), lambda i, b: (0, i),
                                       memory_space=pltpu.VMEM)] * nt
                       ) if n_wf else []
+        rank1_specs = ([pl.BlockSpec((n1, 1), lambda i, b: (0, 0),
+                                     memory_space=pltpu.VMEM)] * nt
+                       + [pl.BlockSpec((1, block_lanes), lambda i, b: (0, i),
+                                       memory_space=pltpu.VMEM)] * nt
+                       ) if n_r1 else []
         tw_specs = [
             pl.BlockSpec((t, 1), lambda i, b: (0, 0), memory_space=pltpu.VMEM)
             for t in ts for _ in range(nt)
@@ -279,6 +306,7 @@ def build_colpass(
     in_specs = [x_spec] + tw_specs
     in_specs.extend([wmat_spec] * (n_wm1 + n_wm2))
     in_specs.extend(wfac_specs)
+    in_specs.extend(rank1_specs)
 
     butterflies = (n1 // 2) * logn * block_lanes
     return pl.pallas_call(
@@ -304,7 +332,8 @@ class PallasColpass:
 
     def __init__(self, fn, tw_cols: list, wmat_tables: tuple | None,
                  wmat2_tables: tuple | None = None,
-                 wfac_tables: tuple | None = None):
+                 wfac_tables: tuple | None = None,
+                 rank1_tables: tuple | None = None):
         self.fn = fn
         self.tw_cols = [jnp.asarray(t) for t in tw_cols]
         self.wmat = (
@@ -316,6 +345,10 @@ class PallasColpass:
         self.wfac = (
             tuple(jnp.asarray(w) for w in wfac_tables) if wfac_tables else None
         )
+        self.rank1 = (
+            tuple(jnp.asarray(w) for w in rank1_tables) if rank1_tables
+            else None
+        )
 
     def __call__(self, x):
         args = [x] + self.tw_cols
@@ -325,6 +358,8 @@ class PallasColpass:
             args.extend(self.wmat2)
         if self.wfac is not None:
             args.extend(self.wfac)
+        if self.rank1 is not None:
+            args.extend(self.rank1)
         return self.fn(*args)
 
 
@@ -348,6 +383,8 @@ def make_colpass(
     fuse: int = 3,
     wfac: tuple | None = None,
     wfac_pos: str = "none",
+    rank1: tuple | None = None,
+    rank1_pos: str = "none",
 ) -> PallasColpass:
     """Build a column pass for n1-point NTTs over an (n1, n2) matrix.
 
@@ -358,6 +395,9 @@ def make_colpass(
     twiddles.fourstep_wfac_T with T1 (n1/S, n2), T2 (S, n2); applied at
     wfac_pos as two chained constant multiplies (same values mod p,
     ~S x less twiddle traffic).
+    rank1: (row_factor (n1,), col_factor (n2,)) host vectors for an
+    exactly rank-1 elementwise multiply (twiddles.negacyclic_psi_factors)
+    applied at rank1_pos — 1-D operands instead of an n1 x n2 matrix.
     """
     from ntt_aie_tpu import twiddles as tw
 
@@ -378,6 +418,14 @@ def make_colpass(
         t1, t2 = wfac
         wfac_split = n1 // t1.shape[0]
         wfac_tables = tuple(red.prepare_table(t1)) + tuple(red.prepare_table(t2))
+    rank1_tables = None
+    if rank1 is not None:
+        rvec, cvec = rank1
+        rank1_tables = (
+            tuple(np.ascontiguousarray(t.reshape(n1, 1))
+                  for t in red.prepare_table(rvec))
+            + tuple(np.ascontiguousarray(t.reshape(1, n2))
+                    for t in red.prepare_table(cvec)))
     fn = build_colpass(
         n1=n1,
         n2=n2,
@@ -393,8 +441,10 @@ def make_colpass(
         fuse=fuse,
         wfac_pos=wfac_pos if wfac is not None else "none",
         wfac_split=wfac_split,
+        rank1_pos=rank1_pos if rank1 is not None else "none",
     )
-    return PallasColpass(fn, tw_cols, wmat_tables, wmat2_tables, wfac_tables)
+    return PallasColpass(fn, tw_cols, wmat_tables, wmat2_tables, wfac_tables,
+                         rank1_tables)
 
 
 def build_fused_fourstep(

@@ -324,20 +324,30 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                 psi_mat = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
                 psi_inv_mat = tw.negacyclic_psi_powers(
                     field, n, inverse=True).reshape(n1, n2)
-                ncp1b = PN.make_colpass(field, n1, n2, reduction=kind,
-                                        direction="dif", wmat=psi_mat,
-                                        twiddle_pos="pre", transpose_out=True,
-                                        batch=B, interpret=interpret)
                 if wfac_on:
-                    # the poly-scale four-step multiply already rode
-                    # icp2pb 'post'; the last pass only adds psi^-1
+                    # rank-1 psi operands (1-D vectors instead of the
+                    # full n1 x n2 psi matrix); the poly-scale four-step
+                    # multiply already rode icp2pb 'post', so the last
+                    # pass only adds psi^-1
+                    psi_fac = tw.negacyclic_psi_factors(field, n1, n2)
+                    ipsi_fac = tw.negacyclic_psi_factors(field, n1, n2,
+                                                         inverse=True)
+                    ncp1b = PN.make_colpass(field, n1, n2, reduction=kind,
+                                            direction="dif", rank1=psi_fac,
+                                            rank1_pos="pre",
+                                            transpose_out=True, batch=B,
+                                            interpret=interpret)
                     nicp1b = PN.make_colpass(field, n1, n2, reduction=kind,
                                              direction="dit", inverse_tw=True,
-                                             wmat2=psi_inv_mat,
-                                             twiddle_pos2="post",
+                                             rank1=ipsi_fac, rank1_pos="post",
                                              canonicalize=True, batch=B,
                                              interpret=interpret)
                 else:
+                    ncp1b = PN.make_colpass(field, n1, n2, reduction=kind,
+                                            direction="dif", wmat=psi_mat,
+                                            twiddle_pos="pre",
+                                            transpose_out=True,
+                                            batch=B, interpret=interpret)
                     nicp1b = PN.make_colpass(field, n1, n2, reduction=kind,
                                              direction="dit", inverse_tw=True,
                                              wmat=iwmat_poly, twiddle_pos="pre",
@@ -507,16 +517,25 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                 return ni(_u32cast(fc).reshape(n2, n1)).reshape(n)
 
         else:
-            ncp1 = PN.make_colpass(field, n1, n2, reduction=kind, direction="dif",
-                                   wmat=psi_mat, twiddle_pos="pre",
-                                   transpose_out=True, interpret=interpret)
             if wfac_on:
-                # four-step poly-scale multiply already rides icp2p 'post'
+                # rank-1 psi operands; four-step poly-scale multiply
+                # already rides icp2p 'post'
+                psi_fac = tw.negacyclic_psi_factors(field, n1, n2)
+                ipsi_fac = tw.negacyclic_psi_factors(field, n1, n2,
+                                                     inverse=True)
+                ncp1 = PN.make_colpass(field, n1, n2, reduction=kind,
+                                       direction="dif", rank1=psi_fac,
+                                       rank1_pos="pre", transpose_out=True,
+                                       interpret=interpret)
                 nicp1 = PN.make_colpass(field, n1, n2, reduction=kind,
                                         direction="dit", inverse_tw=True,
-                                        wmat2=psi_inv_mat, twiddle_pos2="post",
+                                        rank1=ipsi_fac, rank1_pos="post",
                                         canonicalize=True, interpret=interpret)
             else:
+                ncp1 = PN.make_colpass(field, n1, n2, reduction=kind,
+                                       direction="dif", wmat=psi_mat,
+                                       twiddle_pos="pre", transpose_out=True,
+                                       interpret=interpret)
                 nicp1 = PN.make_colpass(field, n1, n2, reduction=kind,
                                         direction="dit", inverse_tw=True,
                                         wmat=iwmat_poly, twiddle_pos="pre",

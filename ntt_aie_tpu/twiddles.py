@@ -375,6 +375,33 @@ def fourstep_wfac_T(field: PrimeField, n1: int, n2: int, *,
     return np.ascontiguousarray(t1), np.ascontiguousarray(t2)
 
 
+def negacyclic_psi_factors(field: PrimeField, n1: int, n2: int, *,
+                           inverse: bool = False):
+    """Rank-1 factorization of the negacyclic psi matrix: the (n1, n2)
+    reshape of psi^i has psi^(r*n2 + c) = (psi^n2)^r * psi^c exactly, so
+    it is row_factor[r] * col_factor[c] — two 1-D vectors (n1 + n2
+    entries) replacing an n1*n2 matrix operand. Same psi convention as
+    negacyclic_psi_powers (tested entrywise)."""
+    n = n1 * n2
+    psi = field.root_of_unity(2 * n)
+    if inverse:
+        psi = field.inv(psi)
+    p = field.p
+    dt = _tw_dtype(p)
+    col = np.empty(n2, dtype=dt)
+    acc = 1
+    for c in range(n2):
+        col[c] = acc
+        acc = acc * psi % p
+    row = np.empty(n1, dtype=dt)
+    a = modpow(psi, n2, p)
+    acc = 1
+    for r in range(n1):
+        row[r] = acc
+        acc = acc * a % p
+    return row, col
+
+
 def negacyclic_psi_powers(field: PrimeField, n: int, *, inverse: bool = False) -> np.ndarray:
     """psi^i for i in [0, n) where psi is a primitive 2n-th root (psi^2 = omega).
 

@@ -589,3 +589,17 @@ def test_plan_wmat_factored_matches_full(redkind, field, rng):
     assert np.array_equal(np.asarray(bf["inv"](bf["fwd"](abj))), ab)
     assert np.array_equal(np.asarray(bf["negacyclic_polymul"](abj, bbj)),
                           np.asarray(blt["negacyclic_polymul"](abj, bbj)))
+
+
+def test_negacyclic_psi_factors_match_matrix():
+    """negacyclic_psi_factors is an exact rank-1 factorization of the psi
+    power matrix: row[r] * col[c] == psi^(r*n2 + c) entrywise, forward and
+    inverse (the factored negacyclic passes depend on it)."""
+    field = F.P_469762049
+    n1, n2 = 16, 64
+    for inverse in (False, True):
+        full = tw.negacyclic_psi_powers(field, n1 * n2,
+                                        inverse=inverse).reshape(n1, n2)
+        r, c = tw.negacyclic_psi_factors(field, n1, n2, inverse=inverse)
+        got = r[:, None].astype(object) * c[None, :] % field.p
+        assert np.array_equal(got.astype(np.int64), np.asarray(full))
