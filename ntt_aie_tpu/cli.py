@@ -211,7 +211,8 @@ def cmd_bench(args) -> int:
 
     field = _field(args.field)
     cfg = NTTConfig(field=field, log_n=args.log_n)
-    plan = build_plan(cfg, engine=args.engine)
+    plan = build_plan(cfg, engine=args.engine,
+                      wmat_factored=True if args.wmat_factored else None)
     rng = np.random.default_rng(0)
     batched = plan.make_batched(args.batch)
     big = field.p >= (1 << 32)
@@ -350,6 +351,9 @@ def main(argv=None) -> int:
     pb.add_argument("--repeats", type=int, default=5)
     pb.add_argument("--engine", default="auto")
     pb.add_argument("--op", default="fwd", choices=["fwd", "inv", "polymul"])
+    pb.add_argument("--wmat-factored", action="store_true",
+                    help="factored sqrt-size four-step twiddle tables "
+                         "(pallas engine; A/B vs the full-matrix default)")
     pb.add_argument("--calibrate", action="store_true",
                     help="measure this chip's streaming HBM peak and report "
                          "efficiency against it (honest on shared chips)")

@@ -43,6 +43,20 @@ def _stage_shapes(n1: int, direction: str) -> list[int]:
     return [1 << s for s in range(logn)]
 
 
+def apply_wfac_arrays(x, t1s, t2s, red: Reduction):
+    """Factored four-step twiddle multiply on a (rows, cols) value whose
+    ROWS are the linear exponent axis c = c1*S + c0 (twiddles.fourstep_wfac_T
+    orientation): x * T1[c1] * T2[c0] as two chained broadcast constant
+    multiplies. t1s: red.n_tables arrays (rows/S, cols); t2s: (S, cols).
+    Shared by the Pallas kernel and the XLA/distributed engines."""
+    rr, cc = x.shape
+    s = t2s[0].shape[0]
+    xr = x.reshape(rr // s, s, cc)
+    xr = red.mul_const(xr, *(t.reshape(rr // s, 1, cc) for t in t1s))
+    xr = red.mul_const(xr, *(t.reshape(1, s, cc) for t in t2s))
+    return xr.reshape(rr, cc)
+
+
 def run_stages(x, tws: list, direction: str, red: Reduction, *,
                fuse: int = 3):
     """All butterfly stages over axis 0 of a (nn, c) value, fused in
@@ -206,12 +220,8 @@ def build_colpass(
             # x rows are the linear exponent axis c = c1*S + c0: multiply
             # by T1[c1] broadcast over c0, then T2[c0] broadcast over c1.
             # Two Shoup muls per element against (n1/S + S)-row tables.
-            rr, cc = x.shape
-            xr = x.reshape(rr // S, S, cc)
-            w1 = tuple(r[:].reshape(rr // S, 1, cc) for r in wfac_refs[:nt])
-            w2 = tuple(r[:].reshape(1, S, cc) for r in wfac_refs[nt:])
-            xr = red.mul_const(red.mul_const(xr, *w1), *w2)
-            return xr.reshape(rr, cc)
+            return apply_wfac_arrays(x, [r[:] for r in wfac_refs[:nt]],
+                                     [r[:] for r in wfac_refs[nt:]], red)
 
         x = x_ref[:]
         if batch > 1:

@@ -70,8 +70,22 @@ def build_distributed_plan(
     interpret: bool = False,
     dp_axis: str | None = None,
     overlap_chunks: int = 1,
+    wmat_factored: bool | None = None,
 ) -> DistributedPlan:
     """Distributed plan over `mesh`'s `config.mesh_axis`.
+
+    wmat_factored=True applies the four-step twiddle multiply from
+    factored sqrt-size tables (twiddles.fourstep_wfac_T) instead of the
+    full n1 x n2 matrix. The multiply then rides the pass on the OTHER
+    side of the transpose collective — pass 2 'pre' (forward) / pass 2
+    'post' (inverse), where local rows are the linear exponent axis and
+    lanes are this shard's slice of the bit-reversed axis — mathematically
+    the same elementwise multiply (it commutes with the transpose).
+    Negacyclic psi matrices become rank-1 row/col vector operands on
+    pass 1. Cuts per-shard twiddle traffic ~sqrt(n2)/2 x and the host
+    table build/transfer likewise (64 MB -> ~6 MB at the n=2^24
+    north-star shape). Bit-identical outputs (tested); None = False
+    until the real-chip A/B lands.
 
     Input is the row-major (n1, n2) coefficient matrix with columns sharded
     over the axis (use plan.shard_input for a flat host vector); output is
@@ -124,30 +138,63 @@ def build_distributed_plan(
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     # ---- host tables (same as single-chip plan) ----
-    tabs = tw.fourstep_tables(field, n1, n2)
-    wmat, iwmat_scaled, pos = tabs["wmat"], tabs["iwmat_scaled"], tabs["pos"]
-    if kind == "montgomery":
-        iwmat_poly = (
-            iwmat_scaled.astype(np.uint64) * np.uint64(field.mont_r_mod_p) % np.uint64(p)
-        ).astype(np.int64)
+    wfac_on = bool(wmat_factored) if wmat_factored is not None else False
+    if wfac_on:
+        # Factored mode never touches the full n1 x n2 matrices: skip
+        # their O(n) host build (and 2 x 134 MB footprint at n=2^24).
+        tabs = tw.fourstep_tables_light(field, n1, n2)
     else:
-        iwmat_poly = iwmat_scaled
+        tabs = tw.fourstep_tables(field, n1, n2)
+        wmat, iwmat_scaled = tabs["wmat"], tabs["iwmat_scaled"]
+        if kind == "montgomery":
+            iwmat_poly = (
+                iwmat_scaled.astype(np.uint64) * np.uint64(field.mont_r_mod_p) % np.uint64(p)
+            ).astype(np.int64)
+        else:
+            iwmat_poly = iwmat_scaled
+    pos = tabs["pos"]
 
     tw1 = red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n1), n1))
     tw2 = red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n2), n2))
     itw1 = red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n1, inverse=True), n1))
     itw2 = red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n2, inverse=True), n2))
-    wmat_t = red.prep_mat(wmat)
-    iwmat_t = red.prep_mat(iwmat_scaled)
-    iwmat_poly_t = red.prep_mat(iwmat_poly)
+    ntab = red.n_tables
+    if wfac_on:
+        S_split = tw.default_wfac_split(n2)
+        n_inv = tabs["n_inv"]
+        poly_scale = (n_inv * field.mont_r_mod_p % p
+                      if kind == "montgomery" else n_inv)
+        wfac_f = tw.fourstep_wfac_T(field, n1, n2, split=S_split)
+        wfac_i = tw.fourstep_wfac_T(field, n1, n2, inverse=True,
+                                    scale=n_inv, split=S_split)
+        wfac_ip = (wfac_i if poly_scale == n_inv else
+                   tw.fourstep_wfac_T(field, n1, n2, inverse=True,
+                                      scale=poly_scale, split=S_split))
+
+        def _prep_fac(fac):
+            t1, t2 = fac
+            return (tuple(jnp.asarray(t) for t in red.prepare_table(t1))
+                    + tuple(jnp.asarray(t) for t in red.prepare_table(t2)))
+
+        wfac_f_d = _prep_fac(wfac_f)
+        wfac_i_d = _prep_fac(wfac_i)
+        wfac_ip_d = wfac_i_d if wfac_ip is wfac_i else _prep_fac(wfac_ip)
+    else:
+        S_split = 0
 
     tw1_d = tuple(jnp.asarray(t) for t in tw1)
     tw2_d = tuple(jnp.asarray(t) for t in tw2)
     itw1_d = tuple(jnp.asarray(t) for t in itw1)
     itw2_d = tuple(jnp.asarray(t) for t in itw2)
-    wmat_d = tuple(jnp.asarray(t) for t in wmat_t)
-    iwmat_d = tuple(jnp.asarray(t) for t in iwmat_t)
-    iwmat_poly_d = tuple(jnp.asarray(t) for t in iwmat_poly_t)
+    if wfac_on:
+        # The full n1 x n2 matrices are never shipped to the devices in
+        # factored mode — that is the point.
+        wmat_d = iwmat_d = iwmat_poly_d = ()
+    else:
+        wmat_d = tuple(jnp.asarray(t) for t in red.prep_mat(wmat))
+        iwmat_d = tuple(jnp.asarray(t) for t in red.prep_mat(iwmat_scaled))
+        iwmat_poly_d = tuple(jnp.asarray(t) for t in red.prep_mat(iwmat_poly))
+    nw = len(wmat_d)  # device tables per full-matrix operand (0 if factored)
 
     if dp_axis is None:
         colshard = P(None, ax)      # (rows, cols) with cols sharded
@@ -157,19 +204,41 @@ def build_distributed_plan(
         wspec = P(None, ax)
 
     # ---- local pass engines ----
-    if engine == "pallas":
-        from ntt_aie_tpu.ops import pallas_ntt as PN
+    # Uniform signatures across engines and twiddle modes:
+    #   p1(x, t1)       pass 1 on the local (n1, n2/D) coefficient block
+    #   p2(xl, t2, c)   pass 2 on transposed overlap chunk c: (n2, w1)
+    #   ip2(xl, t2, c)  inverse pass 2 on spectral chunk c: (n2, w1)
+    #   ip1(y, t1)      inverse pass 1 on the regrouped (n1, n2/D) block
+    # t1/t2 are the shard_map table operands consumed by that pass. In
+    # factored mode the four-step multiply (t2 = wfac slices, sharded over
+    # their n1 lane axis) rides pass 2, on the far side of the collective;
+    # c is the STATIC overlap-chunk index selecting the lane sub-slice.
 
+    def _fac_slice(t2, c):
+        if C == 1:
+            return t2
+        return tuple(jax.lax.slice_in_dim(a, c * w1, (c + 1) * w1, axis=1)
+                     for a in t2)
+
+    from ntt_aie_tpu.ops import pallas_ntt as PN
+
+    if engine == "pallas":
         # Pass-2 engines run per overlap chunk: w1 = (n1/D)/C lanes each
         # (the full n1/D when C == 1).
-        lcp1 = PN.build_colpass(n1=n1, n2=n2 // D, red=red, direction="dif",
-                                twiddle_pos="post", interpret=interpret)
-        lcp2 = PN.build_colpass(n1=n2, n2=w1, red=red, direction="dif",
-                                canonicalize=True, interpret=interpret)
-        licp2 = PN.build_colpass(n1=n2, n2=w1, red=red, direction="dit",
-                                 interpret=interpret)
-        licp1 = PN.build_colpass(n1=n1, n2=n2 // D, red=red, direction="dit",
-                                 twiddle_pos="pre", canonicalize=True, interpret=interpret)
+        kwi = dict(red=red, interpret=interpret)
+        lcp1 = PN.build_colpass(n1=n1, n2=n2 // D, direction="dif",
+                                twiddle_pos="none" if wfac_on else "post",
+                                **kwi)
+        lcp2 = PN.build_colpass(n1=n2, n2=w1, direction="dif",
+                                canonicalize=True,
+                                wfac_pos="pre" if wfac_on else "none",
+                                wfac_split=S_split, **kwi)
+        licp2 = PN.build_colpass(n1=n2, n2=w1, direction="dit",
+                                 wfac_pos="post" if wfac_on else "none",
+                                 wfac_split=S_split, **kwi)
+        licp1 = PN.build_colpass(n1=n1, n2=n2 // D, direction="dit",
+                                 twiddle_pos="none" if wfac_on else "pre",
+                                 canonicalize=True, **kwi)
         tw_cols_1 = [jnp.asarray(c) for v in tw.dif_stage_twiddles(field, n1)
                      for c in red.prepare_table(v.reshape(-1, 1))]
         tw_cols_2 = [jnp.asarray(c) for v in tw.dif_stage_twiddles(field, n2)
@@ -179,97 +248,125 @@ def build_distributed_plan(
         itw_cols_2 = [jnp.asarray(c) for v in tw.dit_stage_twiddles(field, n2, inverse=True)
                       for c in red.prepare_table(v.reshape(-1, 1))]
 
-        def local_pass1(xl, wml):
-            return lcp1(xl, *tw_cols_1, *wml)
+        def p1_std(x, t1):
+            return lcp1(x, *tw_cols_1, *t1)
 
-        def local_pass2(xl):
-            return lcp2(xl, *tw_cols_2)
+        def p2(xl, t2, c):
+            return lcp2(xl, *tw_cols_2, *_fac_slice(t2, c))
 
-        def local_ipass2(xl):
-            return licp2(xl, *itw_cols_2)
+        def ip2(xl, t2, c):
+            return licp2(xl, *itw_cols_2, *_fac_slice(t2, c))
 
-        def local_ipass1(xl, wml):
-            return licp1(xl, *itw_cols_1, *wml)
+        def ip1_std(y, t1):
+            return licp1(y, *itw_cols_1, *t1)
 
     else:
 
-        def local_pass1(xl, wml):
-            y = S.dif_stages(xl, tw1_d, p, red)
-            return red.mulc_mat(y, *wml)
+        def p1_std(x, t1):
+            y = S.dif_stages(x, tw1_d, p, red)
+            return red.mulc_mat(y, *t1) if t1 else y
 
-        def local_pass2(xl):
+        def p2(xl, t2, c):
+            if t2:
+                w = _fac_slice(t2, c)
+                xl = PN.apply_wfac_arrays(xl, w[:ntab], w[ntab:], red)
             return red.canonicalize(S.dif_stages(xl, tw2_d, p, red))
 
-        def local_ipass2(xl):
-            return S.dit_stages(xl, itw2_d, p, red)
+        def ip2(xl, t2, c):
+            y = S.dit_stages(xl, itw2_d, p, red)
+            if t2:
+                w = _fac_slice(t2, c)
+                y = PN.apply_wfac_arrays(y, w[:ntab], w[ntab:], red)
+            return y
 
-        def local_ipass1(xl, wml):
-            y = red.mulc_mat(xl, *wml)
+        def ip1_std(y, t1):
+            if t1:
+                y = red.mulc_mat(y, *t1)
             return red.canonicalize(S.dit_stages(y, itw1_d, p, red))
 
     # ---- negacyclic psi-scaling engines (X^n + 1 arithmetic) ----
     # Fused exactly like the single-chip plan (plan.py): psi^j rides pass 1
-    # as a second 'pre' matrix multiply; psi^-j rides the LAST inverse pass
-    # as a 'post' multiply before canonicalization. Both matrices shard
-    # like wmat (columns over the mesh axis).
+    # as a second 'pre' multiply; psi^-j rides the LAST inverse pass as a
+    # 'post' multiply before canonicalization. Full psi matrices shard like
+    # wmat (columns over the mesh axis); in factored mode psi is its exact
+    # rank-1 factorization — a replicated (n1, 1) row factor plus a
+    # column-sharded (1, n2) lane factor (twiddles.negacyclic_psi_factors).
     if config.negacyclic:
-        psi_mat = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
-        psi_inv_mat = tw.negacyclic_psi_powers(field, n, inverse=True).reshape(n1, n2)
-        psi_d = tuple(jnp.asarray(t) for t in red.prep_mat(psi_mat))
-        ipsi_d = tuple(jnp.asarray(t) for t in red.prep_mat(psi_inv_mat))
+        if wfac_on:
+            def _prep_r1(fac):
+                rvec, cvec = fac
+                return (tuple(jnp.asarray(np.ascontiguousarray(t.reshape(n1, 1)))
+                              for t in red.prepare_table(rvec))
+                        + tuple(jnp.asarray(np.ascontiguousarray(t.reshape(1, n2)))
+                                for t in red.prepare_table(cvec)))
+
+            psi_d = _prep_r1(tw.negacyclic_psi_factors(field, n1, n2))
+            ipsi_d = _prep_r1(tw.negacyclic_psi_factors(field, n1, n2,
+                                                        inverse=True))
+        else:
+            psi_mat = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
+            psi_inv_mat = tw.negacyclic_psi_powers(field, n, inverse=True).reshape(n1, n2)
+            psi_d = tuple(jnp.asarray(t) for t in red.prep_mat(psi_mat))
+            ipsi_d = tuple(jnp.asarray(t) for t in red.prep_mat(psi_inv_mat))
         if engine == "pallas":
-            from ntt_aie_tpu.ops import pallas_ntt as PN
+            if wfac_on:
+                lcp1n = PN.build_colpass(n1=n1, n2=n2 // D, red=red,
+                                         direction="dif", rank1_pos="pre",
+                                         interpret=interpret)
+                licp1n = PN.build_colpass(n1=n1, n2=n2 // D, red=red,
+                                          direction="dit", rank1_pos="post",
+                                          canonicalize=True,
+                                          interpret=interpret)
+            else:
+                lcp1n = PN.build_colpass(n1=n1, n2=n2 // D, red=red,
+                                         direction="dif", twiddle_pos="post",
+                                         twiddle_pos2="pre", interpret=interpret)
+                licp1n = PN.build_colpass(n1=n1, n2=n2 // D, red=red,
+                                          direction="dit", twiddle_pos="pre",
+                                          twiddle_pos2="post", canonicalize=True,
+                                          interpret=interpret)
 
-            lcp1n = PN.build_colpass(n1=n1, n2=n2 // D, red=red,
-                                     direction="dif", twiddle_pos="post",
-                                     twiddle_pos2="pre", interpret=interpret)
-            licp1n = PN.build_colpass(n1=n1, n2=n2 // D, red=red,
-                                      direction="dit", twiddle_pos="pre",
-                                      twiddle_pos2="post", canonicalize=True,
-                                      interpret=interpret)
+            def p1_neg(x, t1):
+                # t1 = (wmat, psi) matrix slices, or the psi rank-1 pair
+                return lcp1n(x, *tw_cols_1, *t1)
 
-            def local_pass1_neg(xl, wml, psil):
-                return lcp1n(xl, *tw_cols_1, *wml, *psil)
+            def ip1_neg(y, t1):
+                return licp1n(y, *itw_cols_1, *t1)
+        elif wfac_on:
 
-            def local_ipass1_neg(xl, wml, psil):
-                return licp1n(xl, *itw_cols_1, *wml, *psil)
+            def p1_neg(x, t1):
+                y = red.mul_const(red.mul_const(x, *t1[:ntab]), *t1[ntab:])
+                return S.dif_stages(y, tw1_d, p, red)
+
+            def ip1_neg(y, t1):
+                y = S.dit_stages(y, itw1_d, p, red)
+                y = red.mul_const(red.mul_const(y, *t1[:ntab]), *t1[ntab:])
+                return red.canonicalize(y)
         else:
 
-            def local_pass1_neg(xl, wml, psil):
-                y = red.mulc_mat(xl, *psil)
+            def p1_neg(x, t1):
+                y = red.mulc_mat(x, *t1[nw:])
                 y = S.dif_stages(y, tw1_d, p, red)
-                return red.mulc_mat(y, *wml)
+                return red.mulc_mat(y, *t1[:nw])
 
-            def local_ipass1_neg(xl, wml, psil):
-                y = red.mulc_mat(xl, *wml)
+            def ip1_neg(y, t1):
+                y = red.mulc_mat(y, *t1[:nw])
                 y = S.dit_stages(y, itw1_d, p, red)
-                return red.canonicalize(red.mulc_mat(y, *psil))
-
-    nw = len(wmat_d)  # tables per matrix operand
-
-    def p1_std(x, tabs):
-        return local_pass1(x, tabs)
-
-    def ip1_std_scaled(y, tabs):
-        return local_ipass1(y, tabs)
-
-    def p1_neg(x, tabs):
-        return local_pass1_neg(x, tabs[:nw], tabs[nw:])
-
-    def ip1_neg(y, tabs):
-        return local_ipass1_neg(y, tabs[:nw], tabs[nw:])
+                return red.canonicalize(red.mulc_mat(y, *t1[nw:]))
 
     # ---- shard_map bodies ----
     if dp_axis is None:
-        def make_fwd_body(p1):
+        def make_fwd_body(p1, n_t1):
             def fwd_body(x, *tabs):
-                # x: local (n1, n2/D); tabs: local matrix-operand slices
-                y = p1(x, tabs)
+                # x: local (n1, n2/D); tabs: local table-operand slices,
+                # pass-1 operands first, pass-2 operands after
+                t1, t2 = tabs[:n_t1], tabs[n_t1:]
+                y = p1(x, t1)
                 if C == 1:
                     # one monolithic all_to_all: (n1, n2/D) -> (n1/D, n2)
                     y = jax.lax.all_to_all(y, ax, split_axis=0, concat_axis=1,
                                            tiled=True)
-                    return local_pass2(y.T)
+                    return p2(y.T, t2, 0)
                 # Chunked overlap: regroup rows by (dest device, chunk) and
                 # issue one independent all_to_all per chunk — pass-2 column
                 # NTTs on chunk k have no data dependence on chunk k+1's
@@ -282,70 +379,82 @@ def build_distributed_plan(
                     yc = yg[:, c].reshape(D * w1, n2 // D)
                     tc = jax.lax.all_to_all(yc, ax, split_axis=0,
                                             concat_axis=1, tiled=True)  # (w1, n2)
-                    outs.append(local_pass2(tc.T))        # (n2, w1)
+                    outs.append(p2(tc.T, t2, c))          # (n2, w1)
                 return jnp.concatenate(outs, axis=1)      # (n2, n1/D)
             return fwd_body
 
-        def make_inv_body(ip1):
+        def make_inv_body(ip1, n_t2):
             def inv_body(x, *tabs):
-                # x: local (n2, n1/D) spectral
+                # x: local (n2, n1/D) spectral; pass-2 operands first
+                t2, t1 = tabs[:n_t2], tabs[n_t2:]
                 if C == 1:
-                    y = local_ipass2(x)
+                    y = ip2(x, t2, 0)
                     y = y.T  # (n1/D, n2)
                     y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=0,
                                            tiled=True)
-                    return ip1(y, tabs)  # (n1, n2/D)
+                    return ip1(y, t1)  # (n1, n2/D)
                 # Producer-side overlap: chunk k's collective flies while
                 # pass-2 (ipass2) computes chunk k+1. Received chunks are
                 # regrouped to the monolithic row order before ipass1.
                 recv = []
                 for c in range(C):
                     xc = jax.lax.slice_in_dim(x, c * w1, (c + 1) * w1, axis=1)
-                    yc = local_ipass2(xc)                 # (n2, w1)
+                    yc = ip2(xc, t2, c)                   # (n2, w1)
                     tc = jax.lax.all_to_all(yc.T, ax, split_axis=1,
                                             concat_axis=0, tiled=True)
                     recv.append(tc)                       # (D*w1, n2/D)
                 z = jnp.stack(recv, axis=0)               # (C, D*w1, n2/D)
                 z = z.reshape(C, D, w1, n2 // D).transpose(1, 0, 2, 3)
-                return ip1(z.reshape(n1, n2 // D), tabs)
+                return ip1(z.reshape(n1, n2 // D), t1)
             return inv_body
     else:
         # batched: local blocks (B/dp, n1, n2/D); vmap the 2D local passes
-        def make_fwd_body(p1):
+        def make_fwd_body(p1, n_t1):
             def fwd_body(x, *tabs):
-                y = jax.vmap(lambda xb: p1(xb, tabs))(x)
+                t1, t2 = tabs[:n_t1], tabs[n_t1:]
+                y = jax.vmap(lambda xb: p1(xb, t1))(x)
                 y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=2, tiled=True)
                 y = jnp.transpose(y, (0, 2, 1))
-                return jax.vmap(local_pass2)(y)
+                return jax.vmap(lambda xb: p2(xb, t2, 0))(y)
             return fwd_body
 
-        def make_inv_body(ip1):
+        def make_inv_body(ip1, n_t2):
             def inv_body(x, *tabs):
-                y = jax.vmap(local_ipass2)(x)
+                t2, t1 = tabs[:n_t2], tabs[n_t2:]
+                y = jax.vmap(lambda xb: ip2(xb, t2, 0))(x)
                 y = jnp.transpose(y, (0, 2, 1))
                 y = jax.lax.all_to_all(y, ax, split_axis=2, concat_axis=1, tiled=True)
-                return jax.vmap(lambda xb: ip1(xb, tabs))(y)
+                return jax.vmap(lambda xb: ip1(xb, t1))(y)
             return inv_body
 
-    smap = lambda body, n_w: jax.shard_map(  # noqa: E731
-        body,
-        mesh=mesh,
-        in_specs=(colshard,) + (wspec,) * n_w,
-        out_specs=colshard,
-        # pallas_call outputs carry no varying-mesh-axis metadata, which
-        # trips shard_map's vma check; the sharding here is explicit anyway
-        check_vma=(engine != "pallas"),
-    )
+    def smap(body, tab_specs):
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(colshard,) + tuple(tab_specs),
+            out_specs=colshard,
+            # pallas_call outputs carry no varying-mesh-axis metadata, which
+            # trips shard_map's vma check; the sharding here is explicit anyway
+            check_vma=(engine != "pallas"),
+        )
 
-    fwd_m = smap(make_fwd_body(p1_std), nw)
-    inv_m = smap(make_inv_body(ip1_std_scaled), nw)
-    inv_poly_m = smap(make_inv_body(ip1_std_scaled), nw)
+    if wfac_on:
+        # wfac tables (n2/S, n1) + (S, n1): sharded over their n1 LANE axis
+        facspec = (wspec,) * (2 * ntab)
+        fwd_m = smap(make_fwd_body(p1_std, 0), facspec)
+        inv_m = smap(make_inv_body(ip1_std, 2 * ntab), facspec)
+        fwd_tabs, inv_tabs, inv_poly_tabs = wfac_f_d, wfac_i_d, wfac_ip_d
+    else:
+        mspec = (wspec,) * nw
+        fwd_m = smap(make_fwd_body(p1_std, nw), mspec)
+        inv_m = smap(make_inv_body(ip1_std, 0), mspec)
+        fwd_tabs, inv_tabs, inv_poly_tabs = wmat_d, iwmat_d, iwmat_poly_d
 
     def fwd_fn(a):
-        return fwd_m(a.astype(jnp.uint32), *wmat_d)
+        return fwd_m(a.astype(jnp.uint32), *fwd_tabs)
 
     def inv_fn(a):
-        return inv_m(a.astype(jnp.uint32), *iwmat_d)
+        return inv_m(a.astype(jnp.uint32), *inv_tabs)
 
     def _pointwise(fa, fb):
         if kind == "montgomery":
@@ -358,18 +467,28 @@ def build_distributed_plan(
         fa = fwd_fn(a)
         fb = fwd_fn(b)
         fc = _pointwise(fa, fb)
-        return inv_poly_m(fc, *iwmat_poly_d)
+        return inv_m(fc, *inv_poly_tabs)
 
     negacyclic_fn = None
     if config.negacyclic:
-        fwd_neg_m = smap(make_fwd_body(p1_neg), 2 * nw)
-        inv_neg_m = smap(make_inv_body(ip1_neg), 2 * nw)
+        if wfac_on:
+            # psi rank-1: replicated row factor + column-sharded lane factor
+            r1spec = (P(None, None),) * ntab + (wspec,) * ntab
+            fwd_neg_m = smap(make_fwd_body(p1_neg, 2 * ntab), r1spec + facspec)
+            inv_neg_m = smap(make_inv_body(ip1_neg, 2 * ntab), facspec + r1spec)
+            neg_fwd_tabs = psi_d + wfac_f_d
+            neg_inv_tabs = wfac_ip_d + ipsi_d
+        else:
+            fwd_neg_m = smap(make_fwd_body(p1_neg, 2 * nw), (wspec,) * (2 * nw))
+            inv_neg_m = smap(make_inv_body(ip1_neg, 0), (wspec,) * (2 * nw))
+            neg_fwd_tabs = wmat_d + psi_d
+            neg_inv_tabs = iwmat_poly_d + ipsi_d
 
         def negacyclic_fn(a, b):
-            fa = fwd_neg_m(a.astype(jnp.uint32), *wmat_d, *psi_d)
-            fb = fwd_neg_m(b.astype(jnp.uint32), *wmat_d, *psi_d)
+            fa = fwd_neg_m(a.astype(jnp.uint32), *neg_fwd_tabs)
+            fb = fwd_neg_m(b.astype(jnp.uint32), *neg_fwd_tabs)
             fc = _pointwise(fa, fb)
-            return inv_neg_m(fc, *iwmat_poly_d, *ipsi_d)
+            return inv_neg_m(fc, *neg_inv_tabs)
 
     in_sharding = NamedSharding(mesh, P(None, ax) if dp_axis is None else P(dp_axis, None, ax))
 

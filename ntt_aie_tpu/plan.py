@@ -140,13 +140,23 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         return red.mul_data(fa, fb)
 
     # ---- host-side tables ----
+    wfac_on = bool(wmat_factored) if wmat_factored is not None else False
+    wfac_on = wfac_on and engine == "pallas" and n2 > 1
     if n2 > 1:
-        tabs = tw.fourstep_tables(field, n1, n2)
-        wmat, iwmat_scaled, pos = tabs["wmat"], tabs["iwmat_scaled"], tabs["pos"]
-        if kind == "montgomery":
-            iwmat_poly = (iwmat_scaled.astype(np.uint64) * np.uint64(field.mont_r_mod_p) % np.uint64(p)).astype(np.int64)
+        if wfac_on and not fused:
+            # Factored-twiddle plans apply the four-step multiply from
+            # fourstep_wfac_T's sqrt-size tables and never touch the full
+            # n1 x n2 matrices — skip their O(n) host build entirely
+            # (fused mode still needs wmid, so it keeps the full tables).
+            tabs = tw.fourstep_tables_light(field, n1, n2)
+            pos = tabs["pos"]
         else:
-            iwmat_poly = iwmat_scaled
+            tabs = tw.fourstep_tables(field, n1, n2)
+            wmat, iwmat_scaled, pos = tabs["wmat"], tabs["iwmat_scaled"], tabs["pos"]
+            if kind == "montgomery":
+                iwmat_poly = (iwmat_scaled.astype(np.uint64) * np.uint64(field.mont_r_mod_p) % np.uint64(p)).astype(np.int64)
+            else:
+                iwmat_poly = iwmat_scaled
     else:
         n_inv = field.inv(n)
         scale = np.full(1, n_inv, dtype=object)
@@ -164,8 +174,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         # multiply on the transposed matrix: fusing post-twiddle and
         # transposed output into one kernel measured 4x slower than either
         # alone on v5e, while pre-twiddle + plain output is free.
-        wfac_on = bool(wmat_factored) if wmat_factored is not None else False
-        n_inv = tabs["n_inv"]
+        n_inv = tabs["n_inv"]  # wfac_on hoisted above the table build
         inv_scale_poly = (n_inv * field.mont_r_mod_p % p
                           if kind == "montgomery" else n_inv)
         if wfac_on:
@@ -321,9 +330,6 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             inv_b = lambda a: inv_b_core(a, icp2b, icp1b)  # noqa: E731
             out = {"polymul": polymul_b}
             if config.negacyclic:
-                psi_mat = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
-                psi_inv_mat = tw.negacyclic_psi_powers(
-                    field, n, inverse=True).reshape(n1, n2)
                 if wfac_on:
                     # rank-1 psi operands (1-D vectors instead of the
                     # full n1 x n2 psi matrix); the poly-scale four-step
@@ -343,6 +349,9 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                                              canonicalize=True, batch=B,
                                              interpret=interpret)
                 else:
+                    psi_mat = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
+                    psi_inv_mat = tw.negacyclic_psi_powers(
+                        field, n, inverse=True).reshape(n1, n2)
                     ncp1b = PN.make_colpass(field, n1, n2, reduction=kind,
                                             direction="dif", wmat=psi_mat,
                                             twiddle_pos="pre",
@@ -504,8 +513,9 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         # Fully fused RLWE pipeline: psi^j rides pass 1 as a second 'pre'
         # multiply and psi^-j rides the last inverse pass as a 'post'
         # multiply — zero extra HBM round trips vs the cyclic polymul.
-        psi_mat = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
-        psi_inv_mat = tw.negacyclic_psi_powers(field, n, inverse=True).reshape(n1, n2)
+        if fused_ok or not wfac_on:
+            psi_mat = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
+            psi_inv_mat = tw.negacyclic_psi_powers(field, n, inverse=True).reshape(n1, n2)
         if fused_ok:
             nf = _mk_fused(wmid=wmid_fwd, pre=psi_mat)
             ni = _mk_fused(wmid=iwmat_poly, inverse=True, post=psi_inv_mat)

@@ -330,6 +330,15 @@ def fourstep_tables(field: PrimeField, n1: int, n2: int):
     return tabs
 
 
+def fourstep_tables_light(field: PrimeField, n1: int, n2: int):
+    """pos + n_inv only: the factored-twiddle plans (wmat_factored=True)
+    apply the four-step multiply from fourstep_wfac_T's sqrt-size tables
+    and never materialize the n1 x n2 matrices, so their setup skips the
+    O(n) gather build and the 2 x n x 8 B host footprint (2 x 134 MB at
+    the n=2^24 north-star shape)."""
+    return {"pos": spectral_positions(n1, n2), "n_inv": field.inv(n1 * n2)}
+
+
 def default_wfac_split(n2: int) -> int:
     """Balanced split for the factored four-step twiddle matrix:
     S ~ sqrt(n2) minimizes the summed table rows n2/S + S."""

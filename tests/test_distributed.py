@@ -337,3 +337,61 @@ def test_goldilocks_distributed_overlap_and_negacyclic(rng):
         got = M.gl_to_u64(np.asarray(ch).reshape(-1),
                           np.asarray(cl).reshape(-1))
         assert np.array_equal(got.astype(object), want.astype(object))
+
+
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_distributed_wmat_factored_matches_full(mesh8, rng, engine):
+    """wmat_factored distributed plans (sqrt-size twiddle tables riding
+    pass 2, on the far side of the transpose collective) are bit-identical
+    to the full-matrix plans: fwd, inverse roundtrip, polymul — monolithic
+    and chunked-overlap."""
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=5, num_shards=8)
+    a = rng.integers(0, field.p, cfg.n)
+    b = rng.integers(0, field.p, cfg.n)
+    kwargs = dict(engine=engine)
+    if engine == "pallas":
+        kwargs["interpret"] = True
+    full = build_distributed_plan(cfg, mesh8, **kwargs)
+    want = np.asarray(full.fwd(full.shard_input(a)))
+    for C in (1, 2):
+        fac = build_distributed_plan(cfg, mesh8, wmat_factored=True,
+                                     overlap_chunks=C, **kwargs)
+        got = np.asarray(fac.fwd(fac.shard_input(a)))
+        assert np.array_equal(got, want), f"C={C} fwd"
+        back = np.asarray(
+            fac.inv(jnp.asarray(got, dtype=jnp.uint32))).reshape(-1)
+        assert np.array_equal(back, a), f"C={C} roundtrip"
+    got_p = np.asarray(
+        fac.polymul(fac.shard_input(a), fac.shard_input(b))).reshape(-1)
+    assert np.array_equal(got_p.astype(np.int64),
+                          ref.cyclic_polymul(a, b, field))
+
+
+def test_distributed_wmat_factored_negacyclic_and_montgomery(mesh8, rng):
+    """Factored mode with rank-1 psi operands (negacyclic) and in the
+    Montgomery field: bit-exact vs the schoolbook oracle / full plan."""
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=5, num_shards=8,
+                    negacyclic=True)
+    a = rng.integers(0, field.p, cfg.n)
+    b = rng.integers(0, field.p, cfg.n)
+    want = ref.schoolbook_negacyclic(a, b, field.p)
+    for engine in ("xla", "pallas"):
+        kw = dict(interpret=True) if engine == "pallas" else {}
+        plan = build_distributed_plan(cfg, mesh8, engine=engine,
+                                      wmat_factored=True, **kw)
+        got = np.asarray(plan.negacyclic_polymul(
+            plan.shard_input(a), plan.shard_input(b))).reshape(-1)
+        assert np.array_equal(got.astype(np.int64), want), engine
+
+    fm = F.P_2013265921
+    cfgm = NTTConfig(field=fm, log_n=12, rows_log2=5, num_shards=8)
+    am = rng.integers(0, fm.p, cfgm.n)
+    bm = rng.integers(0, fm.p, cfgm.n)
+    planm = build_distributed_plan(cfgm, mesh8, engine="xla",
+                                   wmat_factored=True)
+    gotm = np.asarray(planm.polymul(planm.shard_input(am),
+                                    planm.shard_input(bm))).reshape(-1)
+    assert np.array_equal(gotm.astype(np.int64),
+                          ref.cyclic_polymul(am, bm, fm))
