@@ -82,10 +82,11 @@ def test_distributed_montgomery_field(mesh8, rng):
 
 def test_pairwise_stage_matches_butterfly(mesh8, rng):
     """The reference-style ppermute pairwise exchange (comparison mode) for
-    one global stage: exchange + butterfly mechanics only, with a CONSTANT
-    twiddle (37) so the expected value is trivial to state. Real per-shard
-    twiddle-slice routing is covered end-to-end by
-    test_pairwise_full_ntt_matches_oracle."""
+    one global stage. Two parts: a CONSTANT twiddle (37) isolating the
+    exchange + butterfly mechanics, then a random full-length table sharded
+    P("x") checking per-shard twiddle-SLICE routing (each device multiplies
+    by its own position-dependent slice). The full multi-stage composition
+    is covered by test_pairwise_full_ntt_matches_oracle."""
     from ntt_aie_tpu.parallel.fourstep import pairwise_global_stage
     from ntt_aie_tpu.ops.reductions import make_reduction
     from jax.sharding import PartitionSpec as P
@@ -119,6 +120,25 @@ def test_pairwise_stage_matches_butterfly(mesh8, rng):
     v = a[n // 2 :].astype(np.int64)
     want = np.concatenate([(u + v) % field.p, (u - v) % field.p * 37 % field.p])
     assert np.array_equal(got.astype(np.int64), want)
+
+    # and with REAL per-shard twiddle-slice routing: a random full-length
+    # table sharded P("x") hands each device exactly its own m-slice, so
+    # upper-half outputs multiply by position-dependent twiddles
+    wv_full = rng.integers(1, field.p, n).astype(np.int64)
+    w_full_t = tuple(jnp.asarray(t) for t in red.prepare_table(wv_full))
+    f2 = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh8,
+            in_specs=(P("x"),) + (P("x"),) * len(w_full_t),
+            out_specs=P("x"),
+        )
+    )
+    got2 = np.asarray(f2(jnp.asarray(a), *w_full_t))
+    want2 = np.concatenate(
+        [(u + v) % field.p,
+         (u - v) % field.p * wv_full[n // 2:] % field.p])
+    assert np.array_equal(got2.astype(np.int64), want2)
 
 
 def test_distributed_2d_mesh_dp_batch(rng):
