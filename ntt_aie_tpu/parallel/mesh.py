@@ -13,19 +13,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_AUTO = (jax.sharding.AxisType.Auto,)
+
+
 def make_mesh(num_devices: int | None = None, axis: str = "x") -> Mesh:
     devs = jax.devices()
     if num_devices is None:
         num_devices = len(devs)
     if len(devs) < num_devices:
         raise ValueError(f"need {num_devices} devices, have {len(devs)}")
-    return jax.make_mesh((num_devices,), (axis,), devices=devs[:num_devices])
+    # Auto axis types: jax.make_mesh defaults to Explicit sharding-in-types,
+    # under which plain reshapes of sharded results (e.g. flattening a plan
+    # output, or the timing fence's tiny ravel readback) raise. Every
+    # sharding here is already explicit via shard_map in_specs/out_specs.
+    return jax.make_mesh((num_devices,), (axis,), devices=devs[:num_devices],
+                         axis_types=_AUTO)
 
 
 def make_mesh_2d(dp: int, sp: int, axes: tuple[str, str] = ("dp", "x")) -> Mesh:
     """(data-parallel batch axis, shard axis) mesh for batched distributed
     NTTs: batch rides `dp`, coefficients ride `sp`."""
-    return jax.make_mesh((dp, sp), axes)
+    return jax.make_mesh((dp, sp), axes, axis_types=_AUTO * 2)
 
 
 def shard_vector(x, mesh: Mesh, axis: str = "x"):
