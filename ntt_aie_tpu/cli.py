@@ -313,7 +313,8 @@ def cmd_scaling(args) -> int:
     rows = run_scaling(_field(args.field), args.log_n, counts,
                        mode=args.mode, engine=args.engine, batch=args.batch,
                        iters=args.iters, overlap_chunks=args.overlap_chunks,
-                       topology=args.topology)
+                       topology=args.topology,
+                       wmat_factored=True if args.wmat_factored else None)
     print(json.dumps(rows))
     return 0
 
@@ -327,7 +328,24 @@ def cmd_plot(args) -> int:
     return 0
 
 
+def _honor_platform_env() -> None:
+    """The axon sitecustomize pins jax_platforms to the TPU backend
+    in-config, overriding the JAX_PLATFORMS env var; honor an explicit
+    env setting (e.g. cpu virtual-mesh runs while the TPU is busy or
+    the tunnel is down) before the backend initializes. Same logic as
+    __graft_entry__._force_cpu_if_needed."""
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        import jax
+
+        if jax.config.jax_platforms != env:
+            jax.config.update("jax_platforms", env)
+
+
 def main(argv=None) -> int:
+    _honor_platform_env()
     ap = argparse.ArgumentParser(prog="ntt_aie_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -390,6 +408,8 @@ def main(argv=None) -> int:
     pc.add_argument("--overlap-chunks", type=int, default=1,
                     help="chunk the four-step transpose collective to "
                          "overlap it with local compute")
+    pc.add_argument("--wmat-factored", action="store_true",
+                    help="factored sqrt-size four-step twiddle tables")
     pc.add_argument("--topology", default="fourstep",
                     choices=["fourstep", "pairwise"],
                     help="'pairwise' times the reference's per-stage "

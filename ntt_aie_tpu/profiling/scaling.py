@@ -30,7 +30,8 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
                 mode: str = "strong", engine: str = "xla", batch: int = 4,
                 iters: int = 5, repeats: int = 3, verbose: bool = True,
                 overlap_chunks: int = 1,
-                topology: str = "fourstep") -> list[dict]:
+                topology: str = "fourstep",
+                wmat_factored: bool | None = None) -> list[dict]:
     """Time the distributed forward NTT over meshes of increasing size.
 
     mode='strong': fixed total n = 2^log_n, sharded over D devices.
@@ -85,7 +86,8 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
         else:
             chunks = overlap_chunks if n1 % (D * overlap_chunks) == 0 else 1
             plan = build_distributed_plan(cfg, mesh, engine=engine,
-                                          overlap_chunks=chunks)
+                                          overlap_chunks=chunks,
+                                          wmat_factored=wmat_factored)
             xs = [plan.shard_input(a[i].reshape(-1)) for i in range(batch)]
 
             # fwd+inv roundtrip keeps the chained shape (n1, n2) stable for
@@ -117,6 +119,7 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
             "mode": mode,
             "topology": topology,
             "overlap_chunks": overlap_chunks if topology == "fourstep" else None,
+            "wmat_factored": bool(wmat_factored) if topology == "fourstep" else None,
         }
         rows.append(row)
         if verbose:

@@ -33,13 +33,20 @@ def _cases():
             if field.p < (1 << 29) and field.p % 2 == 1:
                 opts.append("harvey4")
             red = opts[rng.integers(0, len(opts))]
+        # factored four-step twiddles ~1/3 of the time (pallas four-step
+        # only; silently full-matrix elsewhere, which is also worth fuzzing)
+        wfac = bool(rng.random() < 0.33)
         yield pytest.param(field, log_n, rows_log2, ordering, engine, red,
+                           wfac,
                            id=f"{i}-{field.name}-n{log_n}-r{rows_log2}-"
-                              f"{ordering}-{engine}-{red}")
+                              f"{ordering}-{engine}-{red}"
+                              f"{'-wfac' if wfac else ''}")
 
 
-@pytest.mark.parametrize("field,log_n,rows_log2,ordering,engine,red", _cases())
-def test_fuzzed_config(field, log_n, rows_log2, ordering, engine, red, rng):
+@pytest.mark.parametrize("field,log_n,rows_log2,ordering,engine,red,wfac",
+                         _cases())
+def test_fuzzed_config(field, log_n, rows_log2, ordering, engine, red,
+                       wfac, rng):
     if (1 << log_n) > field.max_n:
         pytest.skip("n exceeds field")
     cfg = NTTConfig(field=field, log_n=log_n, rows_log2=rows_log2,
@@ -47,7 +54,8 @@ def test_fuzzed_config(field, log_n, rows_log2, ordering, engine, red, rng):
     n2 = cfg.split[1]
     if engine == "pallas" and n2 == 1:
         engine = "xla"  # flat path has no pallas kernels
-    plan = build_plan(cfg, engine=engine, interpret=(engine == "pallas"))
+    plan = build_plan(cfg, engine=engine, interpret=(engine == "pallas"),
+                      wmat_factored=wfac or None)
     a = rng.integers(0, field.p, cfg.n)
     aj = jnp.asarray(a, dtype=jnp.uint32)
     flat = np.asarray(plan.fwd(aj))
