@@ -23,10 +23,24 @@ class NTTContext:
         ctx = NTTContext(NTTConfig(field=P_2013265921, log_n=20))
         A = ctx.forward(a)           # device NTT
         c = ctx.polymul(a, b)        # fused NTT -> pointwise -> INTT
+
+    With `mesh=` (a jax.sharding.Mesh), the same API runs the distributed
+    four-step plan (coefficient sharding + all_to_all transpose) —
+    flat host vectors are placed automatically; already-sharded device
+    matrices pass through. Extra keyword args (wmat_factored,
+    overlap_chunks, dp_axis, engine, ...) forward to the plan builder.
     """
 
-    def __init__(self, config: NTTConfig):
+    def __init__(self, config: NTTConfig, *, mesh=None, **plan_kwargs):
         self.config = config
+        self.mesh = mesh
+        self._plan_kwargs = plan_kwargs
+        if mesh is None and plan_kwargs:
+            raise TypeError(
+                f"plan kwargs {sorted(plan_kwargs)} need mesh= (they "
+                "configure the distributed plan builder); for single-chip "
+                "options use ntt_aie_tpu.plan.build_plan directly"
+            )
         # Device plans are built lazily (imports jax only when used, so the
         # pure-NumPy oracle path stays importable anywhere).
         self._fwd = None
@@ -72,10 +86,38 @@ class NTTContext:
     # ---- device paths ----
 
     def _build(self):
+        if self.mesh is not None:
+            self._build_distributed()
+            return
         from ntt_aie_tpu.plan import build_plan
 
         plan = build_plan(self.config)
         self._fwd, self._inv, self._polymul = plan.fwd, plan.inv, plan.polymul
+        self._plan = plan
+
+    def _build_distributed(self):
+        import jax
+
+        from ntt_aie_tpu.parallel.fourstep import build_distributed_plan
+
+        plan = build_distributed_plan(self.config, self.mesh,
+                                      **self._plan_kwargs)
+
+        def _placed(x, place):
+            # sharded device matrices pass through; flat host vectors (or
+            # 1-D device arrays) are placed into the plan layout
+            if isinstance(x, jax.Array) and x.ndim >= 2:
+                return x
+            return place(np.asarray(x))
+
+        self._fwd = lambda a: plan.fwd(_placed(a, plan.shard_input))
+        self._inv = lambda s: plan.inv(_placed(s, plan.shard_spectral))
+        self._polymul = lambda a, b: plan.polymul(
+            _placed(a, plan.shard_input), _placed(b, plan.shard_input))
+        if plan.negacyclic_polymul is not None:
+            nfn = plan.negacyclic_polymul
+            self._nega = lambda a, b: nfn(
+                _placed(a, plan.shard_input), _placed(b, plan.shard_input))
         self._plan = plan
 
     @property
@@ -106,7 +148,8 @@ class NTTContext:
             raise ValueError(
                 "negacyclic_polymul needs NTTConfig(negacyclic=True)"
             )
-        fn = self.plan.negacyclic_polymul
+        self.plan  # ensure built
+        fn = getattr(self, "_nega", None) or self.plan.negacyclic_polymul
         if fn is None:
             raise ValueError("plan has no negacyclic path")
         return fn(a, b)

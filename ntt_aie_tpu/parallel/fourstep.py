@@ -61,6 +61,14 @@ class DistributedPlan:
         shape = (n1, n2) if a.ndim == 1 else (a.shape[0], n1, n2)
         return jax.device_put(a.reshape(shape), self.in_sharding)
 
+    def shard_spectral(self, s_flat):
+        """Place a flat spectral (n,) host array into the inverse input
+        layout: (n2, n1) with columns sharded (the fwd output layout)."""
+        n1, n2 = self.config.split
+        s = np.asarray(s_flat)
+        shape = (n2, n1) if s.ndim == 1 else (s.shape[0], n2, n1)
+        return jax.device_put(s.reshape(shape), self.out_sharding)
+
 
 def build_distributed_plan(
     config: NTTConfig,

@@ -415,3 +415,35 @@ def test_distributed_wmat_factored_negacyclic_and_montgomery(mesh8, rng):
                                     planm.shard_input(bm))).reshape(-1)
     assert np.array_equal(gotm.astype(np.int64),
                           ref.cyclic_polymul(am, bm, fm))
+
+
+def test_nttcontext_distributed(mesh8, rng):
+    """NTTContext(config, mesh=...) drives the distributed plan through
+    the single-chip API surface: flat host vectors are placed
+    automatically, sharded device arrays pass through."""
+    from ntt_aie_tpu.api import NTTContext
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=5, num_shards=8,
+                    negacyclic=True)
+    ctx = NTTContext(cfg, mesh=mesh8, engine="xla", wmat_factored=True,
+                     overlap_chunks=2)
+    a = rng.integers(0, field.p, cfg.n)
+    b = rng.integers(0, field.p, cfg.n)
+    spec = ctx.forward(a)                      # host vector in
+    got = np.asarray(spec).reshape(-1)
+    assert np.array_equal(
+        got[ctx.plan.spectral_to_natural].astype(np.int64),
+        ref.ntt_forward(a, field))
+    back = np.asarray(ctx.inverse(spec)).reshape(-1)   # sharded pass-through
+    assert np.array_equal(back, a)
+    back2 = np.asarray(ctx.inverse(got)).reshape(-1)   # flat host spectral
+    assert np.array_equal(back2, a)
+    gp = np.asarray(ctx.polymul(a, b)).reshape(-1)
+    assert np.array_equal(gp.astype(np.int64), ref.cyclic_polymul(a, b, field))
+    gn = np.asarray(ctx.negacyclic_polymul(a, b)).reshape(-1)
+    assert np.array_equal(gn.astype(np.int64),
+                          ref.schoolbook_negacyclic(a, b, field.p))
+    # kwargs without mesh are a loud error, not silently ignored
+    with pytest.raises(TypeError):
+        NTTContext(cfg, wmat_factored=True)
