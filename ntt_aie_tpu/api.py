@@ -29,6 +29,11 @@ class NTTContext:
     flat host vectors are placed automatically; already-sharded device
     matrices pass through. Extra keyword args (wmat_factored,
     overlap_chunks, dp_axis, engine, ...) forward to the plan builder.
+    config.ordering is honored in both modes: ordering='natural' with
+    mesh= returns/accepts flat natural-order vectors (a cross-shard
+    gather rides the output — use the default spectral ordering for
+    layout-free serving); the reference parity conventions are
+    single-chip only and raise with mesh=.
     """
 
     def __init__(self, config: NTTConfig, *, mesh=None, **plan_kwargs):
@@ -40,6 +45,21 @@ class NTTContext:
                 f"plan kwargs {sorted(plan_kwargs)} need mesh= (they "
                 "configure the distributed plan builder); for single-chip "
                 "options use ntt_aie_tpu.plan.build_plan directly"
+            )
+        if mesh is not None and (config.table_convention == "reference"
+                                 or config.ordering == "reference"):
+            raise NotImplementedError(
+                "the reference parity conventions (table_convention/"
+                "ordering='reference') are single-chip modes — the "
+                "reference butterfly network is not a DFT and has no "
+                "four-step decomposition (SURVEY.md §0); drop mesh="
+            )
+        if mesh is not None and config.ordering == "natural" and \
+                plan_kwargs.get("dp_axis"):
+            raise NotImplementedError(
+                "ordering='natural' is not wired for dp_axis-batched "
+                "meshes (the gather wrapper assumes flat vectors); use "
+                "the default spectral ordering"
             )
         # Device plans are built lazily (imports jax only when used, so the
         # pure-NumPy oracle path stays importable anywhere).
@@ -119,6 +139,34 @@ class NTTContext:
             self._nega = lambda a, b: nfn(
                 _placed(a, plan.shard_input), _placed(b, plan.shard_input))
         self._plan = plan
+
+        # Honor config.ordering exactly like the single-chip plan wrappers
+        # (plan.py "ordering wrappers"; CLAUDE.md invariant): with
+        # ordering='natural' the context's forward returns a flat
+        # natural-order vector and inverse accepts one. Spectral-order
+        # mode (the default 'bitrev') keeps the sharded matrix layout.
+        if self.config.ordering == "natural":
+            import jax.numpy as jnp
+
+            n = self.config.n
+            pos_np = np.asarray(tw.spectral_positions(*self.config.split))
+            inv_perm = np.empty(n, dtype=np.int32)
+            inv_perm[pos_np] = np.arange(n, dtype=np.int32)
+            pos_d = jnp.asarray(pos_np)
+            raw_fwd, raw_inv = self._fwd, self._inv
+
+            def nat_fwd(a):
+                return jnp.take(raw_fwd(a).reshape(n), pos_d)
+
+            def nat_inv(s):
+                s = np.asarray(s).reshape(-1)
+                if s.shape != (n,):
+                    raise ValueError(
+                        f"ordering='natural' inverse expects a flat "
+                        f"({n},) natural-order spectrum, got {s.shape}")
+                return raw_inv(s[inv_perm])
+
+            self._fwd, self._inv = nat_fwd, nat_inv
 
     @property
     def plan(self):

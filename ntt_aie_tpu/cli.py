@@ -213,6 +213,10 @@ def cmd_bench(args) -> int:
     cfg = NTTConfig(field=field, log_n=args.log_n)
     plan = build_plan(cfg, engine=args.engine,
                       wmat_factored=True if args.wmat_factored else None)
+    if args.wmat_factored and not plan.wmat_factored:
+        print("warning: --wmat-factored ignored (needs the pallas engine "
+              "and a four-step split); timing the full-matrix path",
+              file=sys.stderr)
     rng = np.random.default_rng(0)
     batched = plan.make_batched(args.batch)
     big = field.p >= (1 << 32)
@@ -239,7 +243,8 @@ def cmd_bench(args) -> int:
         res["us_per_iter"] / transforms_per_call * 1e-6, cfg.n,
         itemsize=8 if big else 4, measured_peak_gbps=measured)
     rep.update(engine=plan.engine, reduction=plan.reduction,
-               batch=args.batch, op=args.op)
+               batch=args.batch, op=args.op,
+               wmat_factored=plan.wmat_factored)
     del rep["hbm_bytes"]
     print(json.dumps(rep))
     return 0

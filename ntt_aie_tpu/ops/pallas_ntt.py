@@ -195,7 +195,9 @@ def build_colpass(
     S = wfac_split
     if wfac_pos != "none":
         if not (0 < S < n1 and n1 % S == 0):
-            raise ValueError(f"wfac_split {S} must divide rows n1={n1}")
+            raise ValueError(
+                f"wfac_split {S} must be a proper divisor of rows n1={n1} "
+                f"(need 0 < S < n1 and n1 % S == 0)")
     n_wf = 2 * nt if wfac_pos != "none" else 0
     n_r1 = 2 * nt if rank1_pos != "none" else 0
 

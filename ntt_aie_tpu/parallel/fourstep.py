@@ -172,12 +172,15 @@ def build_distributed_plan(
         n_inv = tabs["n_inv"]
         poly_scale = (n_inv * field.mont_r_mod_p % p
                       if kind == "montgomery" else n_inv)
-        wfac_f = tw.fourstep_wfac_T(field, n1, n2, split=S_split)
+        _pw = tw.root_powers(field, n)  # one O(n) table for all three
+        wfac_f = tw.fourstep_wfac_T(field, n1, n2, split=S_split, _pows=_pw)
         wfac_i = tw.fourstep_wfac_T(field, n1, n2, inverse=True,
-                                    scale=n_inv, split=S_split)
+                                    scale=n_inv, split=S_split, _pows=_pw)
         wfac_ip = (wfac_i if poly_scale == n_inv else
                    tw.fourstep_wfac_T(field, n1, n2, inverse=True,
-                                      scale=poly_scale, split=S_split))
+                                      scale=poly_scale, split=S_split,
+                                      _pows=_pw))
+        del _pw
 
         def _prep_fac(fac):
             t1, t2 = fac

@@ -54,6 +54,10 @@ class Plan:
     spectral_to_natural: Optional[np.ndarray]  # gather indices, or None
     engine: str
     reduction: str
+    # True only when the factored-twiddle kernels were actually built
+    # (requested wmat_factored can silently downgrade on non-pallas
+    # engines or flat splits — callers A/B-ing the mode must check this).
+    wmat_factored: bool = False
     # make_batched(B) -> dict(fwd=..., inv=..., polymul=...) over (B, n)
     # uint32 arrays. Throughput path: batching amortizes per-dispatch and
     # per-kernel-launch latency (the dominant cost for single transforms on
@@ -178,12 +182,14 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         inv_scale_poly = (n_inv * field.mont_r_mod_p % p
                           if kind == "montgomery" else n_inv)
         if wfac_on:
-            wf_f = tw.fourstep_wfac_T(field, n1, n2)
+            _pw = tw.root_powers(field, n)  # one O(n) table for all three
+            wf_f = tw.fourstep_wfac_T(field, n1, n2, _pows=_pw)
             wf_i = tw.fourstep_wfac_T(field, n1, n2, inverse=True,
-                                      scale=n_inv)
+                                      scale=n_inv, _pows=_pw)
             wf_ip = (wf_i if inv_scale_poly == n_inv else
                      tw.fourstep_wfac_T(field, n1, n2, inverse=True,
-                                        scale=inv_scale_poly))
+                                        scale=inv_scale_poly, _pows=_pw))
+            del _pw
 
         def _mk_passes(B=1):
             """The four shared column passes (+ poly-inverse variant), at
@@ -595,6 +601,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         spectral_to_natural=spectral_to_natural,
         engine=engine,
         reduction=kind,
+        wmat_factored=wfac_on,
         _batched_builder=batched_builder,
     )
 

@@ -347,7 +347,8 @@ def default_wfac_split(n2: int) -> int:
 
 def fourstep_wfac_T(field: PrimeField, n1: int, n2: int, *,
                     inverse: bool = False, scale: int | None = None,
-                    split: int | None = None):
+                    split: int | None = None,
+                    _pows: np.ndarray | None = None):
     """Factored four-step twiddle matrix, TRANSPOSED orientation.
 
     The full matrix wmat.T[c, r] = W^(+-br1(r) * c) [* scale] (rows c are
@@ -363,12 +364,16 @@ def fourstep_wfac_T(field: PrimeField, n1: int, n2: int, *,
     ~sqrt(n2)/2 x less twiddle HBM traffic and host build. `scale` (e.g.
     1/n for the inverse) folds into T2. Spectral-order convention shared
     with fourstep_tables (the single source of truth, CLAUDE.md).
+
+    The O(n) power table dominates this build; callers constructing
+    several factored tables (fwd + inv + poly-inv) should build it once
+    with root_powers(field, n) and pass it as ``_pows``.
     """
     n = n1 * n2
     S = split or default_wfac_split(n2)
     if n2 % S != 0:
         raise ValueError(f"split {S} must divide n2={n2}")
-    pows = root_powers(field, n)
+    pows = root_powers(field, n) if _pows is None else _pows
     k1r = bit_reverse_indices(n1).astype(np.int64)
     sgn = -1 if inverse else 1
     c1 = (np.arange(n2 // S, dtype=np.int64) * S)[:, None]

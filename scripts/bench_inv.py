@@ -4,9 +4,11 @@ Used for before/after ladders on DIT-path changes; prints JSON.
 Run: python scripts/bench_inv.py [B]
 """
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -4,9 +4,11 @@ Times batched fwd / inv / polymul at n=2^20 for wmat_factored True/False.
 Run: python scripts/bench_wfac.py [B]
 """
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -7,9 +7,11 @@ between them and the roundtrip, and times fwd/inv.
 Run: python scripts/bench_wfac_dist.py [log_n]
 """
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

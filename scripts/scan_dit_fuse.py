@@ -4,9 +4,11 @@ Times one inverse column pass (n1=1024 points, DIT, harvey4) over a
 batched lane axis, for fuse levels 1/2/3/4 — mirrors the forward K scan
 in DESIGN.md §3. Run: python scripts/scan_dit_fuse.py [B]
 """
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -447,3 +447,30 @@ def test_nttcontext_distributed(mesh8, rng):
     # kwargs without mesh are a loud error, not silently ignored
     with pytest.raises(TypeError):
         NTTContext(cfg, wmat_factored=True)
+
+
+def test_nttcontext_distributed_ordering(mesh8, rng):
+    """config.ordering must be honored by the mesh= path exactly like the
+    single-chip wrappers (CLAUDE.md invariant): ordering='natural' returns
+    and accepts flat natural-order vectors; the reference parity
+    conventions are single-chip-only and raise loudly."""
+    from ntt_aie_tpu.api import NTTContext
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=5, num_shards=8,
+                    ordering="natural")
+    ctx = NTTContext(cfg, mesh=mesh8, engine="xla")
+    a = rng.integers(0, field.p, cfg.n)
+    spec = np.asarray(ctx.forward(a))
+    assert spec.shape == (cfg.n,)
+    assert np.array_equal(spec.astype(np.int64), ref.ntt_forward(a, field))
+    # device path must agree with the host-oracle path under the SAME config
+    assert np.array_equal(spec, ctx.forward_host(a))
+    back = np.asarray(ctx.inverse(spec)).reshape(-1)
+    assert np.array_equal(back, a)
+
+    with pytest.raises(NotImplementedError):
+        NTTContext(NTTConfig(field=F.KYBER, log_n=11,
+                             table_convention="reference"), mesh=mesh8)
+    with pytest.raises(NotImplementedError):
+        NTTContext(cfg, mesh=mesh8, engine="xla", dp_axis="dp")

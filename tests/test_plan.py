@@ -570,6 +570,11 @@ def test_plan_wmat_factored_matches_full(redkind, field, rng):
                     negacyclic=True)
     pf = build_plan(cfg, engine="pallas", interpret=True, wmat_factored=True)
     pl = build_plan(cfg, engine="pallas", interpret=True, wmat_factored=False)
+    # the plan records whether factored kernels were ACTUALLY built (the
+    # request downgrades silently on non-pallas engines; A/B scripts and
+    # the bench CLI report this field)
+    assert pf.wmat_factored and not pl.wmat_factored
+    assert not build_plan(cfg, engine="xla", wmat_factored=True).wmat_factored
     a = rng.integers(0, field.p, cfg.n).astype(np.uint32)
     b = rng.integers(0, field.p, cfg.n).astype(np.uint32)
     aj, bj = jnp.asarray(a), jnp.asarray(b)
