@@ -120,6 +120,13 @@ class NTTContext:
 
         from ntt_aie_tpu.parallel.fourstep import build_distributed_plan
 
+        if self.config.field.is_goldilocks:
+            # 64-bit values travel as (hi, lo) uint32 limb pairs through a
+            # dedicated builder — route there instead of crashing in the
+            # single-array machinery.
+            self._build_distributed_gl()
+            return
+
         plan = build_distributed_plan(self.config, self.mesh,
                                       **self._plan_kwargs)
 
@@ -167,6 +174,84 @@ class NTTContext:
                 return raw_inv(s[inv_perm])
 
             self._fwd, self._inv = nat_fwd, nat_inv
+
+    def _build_distributed_gl(self):
+        """Goldilocks distributed context: same surface as the 32-bit path
+        but values are uint64 vectors (converted) or (hi, lo) uint32 limb
+        pairs (passed through), mirroring the single-chip GL plan's
+        convention (goldilocks_plan._in/_out)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ntt_aie_tpu.ops import modops as M
+        from ntt_aie_tpu.parallel.fourstep import build_gl_distributed_plan
+
+        cfg = self.config
+        bad = sorted(set(self._plan_kwargs) - {"overlap_chunks"})
+        if bad:
+            raise TypeError(
+                f"plan kwargs {bad} are not supported by the Goldilocks "
+                "distributed builder (only overlap_chunks)")
+        plan = build_gl_distributed_plan(cfg, self.mesh, **self._plan_kwargs)
+        n = cfg.n
+        natural = cfg.ordering == "natural"
+        if natural:
+            pos_np = np.asarray(tw.spectral_positions(*cfg.split))
+            inv_perm = np.empty(n, dtype=np.int32)
+            inv_perm[pos_np] = np.arange(n, dtype=np.int32)
+            pos_d = jnp.asarray(pos_np)
+
+        def _in(x, place):
+            # device-placed limb pairs pass through; host uint64 vectors
+            # (or host limb pairs) are placed into the plan layout
+            if isinstance(x, tuple):
+                if all(isinstance(v, jax.Array) and v.ndim >= 2 for v in x):
+                    return x, False
+                return place(x), False
+            return place(x), True
+
+        def _out(h, l, u64):
+            return M.gl_to_u64(h, l) if u64 else (h, l)
+
+        def fwd(a):
+            hl, u64 = _in(a, plan.shard_input)
+            h, l = plan.fwd(hl)
+            if natural:
+                h = jnp.take(h.reshape(n), pos_d)
+                l = jnp.take(l.reshape(n), pos_d)
+            return _out(h, l, u64)
+
+        def inv(s):
+            if natural:
+                # flat natural-order spectrum in: permute, then place
+                if isinstance(s, tuple):
+                    hi, lo = (np.asarray(v).reshape(-1) for v in s)
+                    hl = plan.shard_spectral((hi[inv_perm], lo[inv_perm]))
+                    u64 = False
+                else:
+                    v = np.asarray(s, dtype=np.uint64).reshape(-1)
+                    hl = plan.shard_spectral(v[inv_perm])
+                    u64 = True
+            else:
+                hl, u64 = _in(s, plan.shard_spectral)
+            return _out(*plan.inv(hl), u64)
+
+        def polymul(a, b):
+            ahl, u64 = _in(a, plan.shard_input)
+            bhl, _ = _in(b, plan.shard_input)
+            return _out(*plan.polymul(ahl, bhl), u64)
+
+        self._fwd, self._inv, self._polymul = fwd, inv, polymul
+        if plan.negacyclic_polymul is not None:
+            nfn = plan.negacyclic_polymul
+
+            def nega(a, b):
+                ahl, u64 = _in(a, plan.shard_input)
+                bhl, _ = _in(b, plan.shard_input)
+                return _out(*nfn(ahl, bhl), u64)
+
+            self._nega = nega
+        self._plan = plan
 
     @property
     def plan(self):

@@ -696,20 +696,32 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
                             if negacyclic_fn is not None else None),
     )
 
+    def _split_u64(a_flat):
+        if isinstance(a_flat, tuple):
+            return tuple(np.asarray(x) for x in a_flat)
+        v = np.asarray(a_flat, dtype=np.uint64)
+        return ((v >> np.uint64(32)).astype(np.uint32),
+                (v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
     def shard_input_gl(a_flat):
         """uint64 host vector (or (hi, lo) pair) -> sharded limb pair."""
-        if isinstance(a_flat, tuple):
-            hi, lo = (np.asarray(x) for x in a_flat)
-        else:
-            v = np.asarray(a_flat, dtype=np.uint64)
-            hi = (v >> np.uint64(32)).astype(np.uint32)
-            lo = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi, lo = _split_u64(a_flat)
         return (
             jax.device_put(hi.reshape(n1, n2), in_sharding),
             jax.device_put(lo.reshape(n1, n2), in_sharding),
         )
 
+    def shard_spectral_gl(s_flat):
+        """flat spectral uint64 vector (or (hi, lo) pair) -> the inverse
+        input layout: (n2, n1) sharded limb pair (the fwd output layout)."""
+        hi, lo = _split_u64(s_flat)
+        return (
+            jax.device_put(hi.reshape(n2, n1), in_sharding),
+            jax.device_put(lo.reshape(n2, n1), in_sharding),
+        )
+
     plan.shard_input = shard_input_gl
+    plan.shard_spectral = shard_spectral_gl
     return plan
 
 

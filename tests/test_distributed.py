@@ -474,3 +474,48 @@ def test_nttcontext_distributed_ordering(mesh8, rng):
                              table_convention="reference"), mesh=mesh8)
     with pytest.raises(NotImplementedError):
         NTTContext(cfg, mesh=mesh8, engine="xla", dp_axis="dp")
+
+
+def test_nttcontext_distributed_goldilocks(mesh8, rng):
+    """NTTContext(mesh=) with the 64-bit Goldilocks field routes to the
+    limb-pair distributed builder with the single-chip GL conventions:
+    uint64 host vectors are split/placed automatically (and returned as
+    uint64), device limb pairs pass through, and config.ordering is
+    honored."""
+    from ntt_aie_tpu.api import NTTContext
+
+    GL = F.GOLDILOCKS
+    cfg = NTTConfig(field=GL, log_n=10, rows_log2=5, num_shards=8,
+                    negacyclic=True)
+    ctx = NTTContext(cfg, mesh=mesh8, overlap_chunks=2)
+    a = rng.integers(0, GL.p, cfg.n, dtype=np.uint64)
+    b = rng.integers(0, GL.p, cfg.n, dtype=np.uint64)
+
+    spec = ctx.forward(a)                       # uint64 in -> uint64 out
+    got = np.asarray(spec).reshape(-1)
+    want = ref.ntt_forward(a.astype(object), GL)
+    assert np.array_equal(got[ctx.plan.spectral_to_natural].astype(object),
+                          want)
+    back = np.asarray(ctx.inverse(spec)).reshape(-1)   # device passthrough
+    assert np.array_equal(back, a)
+    gp = np.asarray(ctx.polymul(a, b)).reshape(-1)
+    assert np.array_equal(gp.astype(object),
+                          ref.cyclic_polymul(a.astype(object),
+                                             b.astype(object), GL))
+    gn = np.asarray(ctx.negacyclic_polymul(a, b)).reshape(-1)
+    assert np.array_equal(gn.astype(object),
+                          ref.schoolbook_negacyclic(a.astype(object),
+                                                    b.astype(object), GL.p))
+
+    # natural ordering: flat natural-order uint64 vectors both ways
+    nctx = NTTContext(NTTConfig(field=GL, log_n=10, rows_log2=5,
+                                num_shards=8, ordering="natural"),
+                      mesh=mesh8)
+    nspec = np.asarray(nctx.forward(a))
+    assert nspec.shape == (cfg.n,)
+    assert np.array_equal(nspec.astype(object), want)
+    assert np.array_equal(np.asarray(nctx.inverse(nspec)).reshape(-1), a)
+
+    # unsupported plan kwargs are a loud error
+    with pytest.raises(TypeError):
+        NTTContext(cfg, mesh=mesh8, wmat_factored=True).plan
