@@ -551,12 +551,18 @@ def pairwise_global_stage(x_local, stage_idx: int, D: int, axis: str,
 # ---------------------------------------------------------------------------
 
 def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
-                              overlap_chunks: int = 1) -> DistributedPlan:
+                              overlap_chunks: int = 1,
+                              dp_axis: str | None = None) -> DistributedPlan:
     """Distributed four-step NTT for p = 2^64 - 2^32 + 1: same structure as
     build_distributed_plan but every value travels as a (hi, lo) uint32 limb
     pair — two same-shaped arrays through the same shardings and the same
     single all_to_all (issued per limb). Local passes are the XLA limb
-    stage loops (goldilocks_plan.gl_dif/dit_stages)."""
+    stage loops (goldilocks_plan.gl_dif/dit_stages).
+
+    With dp_axis set (2D mesh), inputs carry a leading batch dim:
+    (B, n1, n2) limb pairs sharded P(dp, None, x) — the same DP x coeff
+    composition as the 32-bit plan. Only the 1D path chunks the
+    collective (overlap_chunks is coerced to 1, as in the 32-bit plan)."""
     from ntt_aie_tpu.goldilocks_plan import (
         _dev_limbs, _split_limbs, gl_dif_stages, gl_dit_stages,
     )
@@ -570,7 +576,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
     n1, n2 = config.split
     if n2 % D or n1 % D:
         raise ValueError(f"split {config.split} must divide by mesh size {D}")
-    C = overlap_chunks
+    C = overlap_chunks if dp_axis is None else 1
     w1 = n1 // (D * C)
     if C < 1 or (C > 1 and w1 * D * C != n1):
         raise ValueError(
@@ -591,7 +597,12 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
     wmat_d = _dev_limbs(wmat)
     iwmat_d = _dev_limbs(iwmat_scaled)
 
-    colshard = P(None, ax)
+    if dp_axis is None:
+        colshard = P(None, ax)      # (rows, cols) with cols sharded
+        wspec = colshard
+    else:
+        colshard = P(dp_axis, None, ax)  # (batch, rows, cols)
+        wspec = P(None, ax)
 
     def _a2a(h, l, split_axis, concat_axis):
         h = jax.lax.all_to_all(h, ax, split_axis=split_axis,
@@ -646,9 +657,36 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
             h, l = M.gl_mul(h, l, psi[0], psi[1])
         return h, l
 
+    if dp_axis is not None:
+        # Batched bodies: vmap the local limb passes over the per-device
+        # batch; the two all_to_alls move to the shifted axes (the same
+        # composition as the 32-bit plan's batched bodies).
+        def fwd_body_b(h, l, wh, wl, *psi):
+            if psi:
+                h, l = M.gl_mul(h, l, psi[0], psi[1])  # broadcasts over B
+            h, l = jax.vmap(lambda hb, lb: gl_dif_stages(hb, lb, *tw1))(h, l)
+            h, l = M.gl_mul(h, l, wh, wl)
+            h, l = _a2a(h, l, 1, 2)
+            h = jnp.transpose(h, (0, 2, 1))
+            l = jnp.transpose(l, (0, 2, 1))
+            return jax.vmap(lambda hb, lb: gl_dif_stages(hb, lb, *tw2))(h, l)
+
+        def inv_body_b(h, l, wh, wl, *psi):
+            h, l = jax.vmap(lambda hb, lb: gl_dit_stages(hb, lb, *itw2))(h, l)
+            h = jnp.transpose(h, (0, 2, 1))
+            l = jnp.transpose(l, (0, 2, 1))
+            h, l = _a2a(h, l, 2, 1)
+            h, l = M.gl_mul(h, l, wh, wl)
+            h, l = jax.vmap(lambda hb, lb: gl_dit_stages(hb, lb, *itw1))(h, l)
+            if psi:
+                h, l = M.gl_mul(h, l, psi[0], psi[1])
+            return h, l
+
+        fwd_body, inv_body = fwd_body_b, inv_body_b
+
     smap = lambda body, extra=0: jax.shard_map(  # noqa: E731
         body, mesh=mesh,
-        in_specs=(colshard,) * (4 + extra),
+        in_specs=(colshard, colshard) + (wspec,) * (2 + extra),
         out_specs=(colshard, colshard),
     )
     fwd_m = smap(fwd_body)
@@ -703,22 +741,23 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
         return ((v >> np.uint64(32)).astype(np.uint32),
                 (v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
 
+    def _place(pair, r, c):
+        # one transform is r*c values (however shaped); anything bigger
+        # is a dp_axis batch with a leading batch dim
+        hi, lo = pair
+        shape = (r, c) if hi.size == r * c else (hi.shape[0], r, c)
+        return (jax.device_put(hi.reshape(shape), in_sharding),
+                jax.device_put(lo.reshape(shape), in_sharding))
+
     def shard_input_gl(a_flat):
-        """uint64 host vector (or (hi, lo) pair) -> sharded limb pair."""
-        hi, lo = _split_u64(a_flat)
-        return (
-            jax.device_put(hi.reshape(n1, n2), in_sharding),
-            jax.device_put(lo.reshape(n1, n2), in_sharding),
-        )
+        """uint64 host vector — or (B, n) batch with dp_axis — (or a
+        (hi, lo) pair) -> sharded limb pair."""
+        return _place(_split_u64(a_flat), n1, n2)
 
     def shard_spectral_gl(s_flat):
         """flat spectral uint64 vector (or (hi, lo) pair) -> the inverse
         input layout: (n2, n1) sharded limb pair (the fwd output layout)."""
-        hi, lo = _split_u64(s_flat)
-        return (
-            jax.device_put(hi.reshape(n2, n1), in_sharding),
-            jax.device_put(lo.reshape(n2, n1), in_sharding),
-        )
+        return _place(_split_u64(s_flat), n2, n1)
 
     plan.shard_input = shard_input_gl
     plan.shard_spectral = shard_spectral_gl

@@ -519,3 +519,45 @@ def test_nttcontext_distributed_goldilocks(mesh8, rng):
     # unsupported plan kwargs are a loud error
     with pytest.raises(TypeError):
         NTTContext(cfg, mesh=mesh8, wmat_factored=True).plan
+
+
+def test_goldilocks_distributed_dp_axis(rng):
+    """GL 2D mesh: batch sharded over 'dp', coefficients over 'x' — the
+    DP x coeff composition for the 64-bit field, bit-exact vs the
+    single-chip GL plan per batch row, plus roundtrip and negacyclic."""
+    import jax
+
+    from ntt_aie_tpu.parallel.fourstep import build_gl_distributed_plan
+    from ntt_aie_tpu.parallel.mesh import make_mesh_2d
+    from ntt_aie_tpu.plan import build_plan
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh_2d(2, 4)
+    GL = F.GOLDILOCKS
+    cfg = NTTConfig(field=GL, log_n=10, rows_log2=5, num_shards=4,
+                    negacyclic=True)
+    B = 4
+    a = rng.integers(0, GL.p, (B, cfg.n), dtype=np.uint64)
+    b = rng.integers(0, GL.p, (B, cfg.n), dtype=np.uint64)
+    dist = build_gl_distributed_plan(cfg, mesh, dp_axis="dp")
+    single = build_plan(cfg)
+    out = dist.fwd(dist.shard_input(a))
+    oh, ol = (np.asarray(x) for x in out)
+    got = (oh.astype(np.uint64) << np.uint64(32)) | ol.astype(np.uint64)
+    for i in range(B):
+        want = np.asarray(single.fwd(a[i]))
+        assert np.array_equal(got[i].reshape(-1), want), f"batch row {i}"
+    back = dist.inv(out)
+    bh, bl = (np.asarray(x) for x in back)
+    v = (bh.astype(np.uint64) << np.uint64(32)) | bl.astype(np.uint64)
+    assert np.array_equal(v.reshape(B, -1), a)
+    nh, nl = dist.negacyclic_polymul(dist.shard_input(a),
+                                     dist.shard_input(b))
+    nv = ((np.asarray(nh).astype(np.uint64) << np.uint64(32))
+          | np.asarray(nl).astype(np.uint64)).reshape(B, -1)
+    for i in range(B):
+        assert np.array_equal(
+            nv[i].astype(object),
+            ref.schoolbook_negacyclic(a[i].astype(object),
+                                      b[i].astype(object), GL.p)), i
