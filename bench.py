@@ -30,14 +30,47 @@ n/2*log2(n) butterflies.
 """
 
 import json
+import os
 import sys
+import threading
 
 import numpy as np
 
 REF_BUTTERFLIES_PER_SEC = (2**11 // 2 * 11) / 14.375e-6  # reference best
 
 
+def _acquire_backend(timeout_s: float):
+    """Initialize the jax backend with a deadline. The tunneled TPU backend
+    can block indefinitely when the tunnel is down; a hung bench emits no
+    JSON line at all, so fail loudly instead (the init runs in a daemon
+    thread — if it never returns, the process can still exit)."""
+    out = {}
+
+    def work():
+        try:
+            import jax
+
+            out["backend"] = jax.default_backend()
+        except Exception as e:  # noqa: BLE001 — report, don't hang
+            out["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return None, f"jax backend init exceeded {timeout_s:.0f}s (tunnel down?)"
+    return out.get("backend"), out.get("error")
+
+
 def main() -> int:
+    backend, err = _acquire_backend(
+        float(os.environ.get("NTT_BENCH_DEVICE_TIMEOUT_S", "900")))
+    if backend is None:
+        print(json.dumps({"metric": "NTTs/sec/chip at n=2^20 (32-bit prime)",
+                          "value": 0.0, "unit": "NTT/s", "vs_baseline": 0.0,
+                          "error": err}))
+        return 1
+
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +82,7 @@ def main() -> int:
     log_n = 20
     n = 1 << log_n
     cfg = NTTConfig(field=field, log_n=log_n)
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = backend == "tpu"
     plan = build_plan(cfg, engine="pallas" if on_tpu else "xla")
 
     rng = np.random.default_rng(0)
