@@ -83,10 +83,20 @@ class RNSPolymul:
         for f in self.fields:
             self.modulus *= f.p
         # CRT basis: e_i = M_i * (M_i^-1 mod p_i), M_i = M / p_i
+        # (host-combine fallback for primes the device chain can't take)
         self._basis = []
         for f in self.fields:
             mi = self.modulus // f.p
             self._basis.append(mi * f.inv(mi % f.p))
+        # Device-side combine (Garner limb recomposition, ops/crt.py):
+        # one jitted elementwise dispatch + ONE limb-array readback instead
+        # of k residue readbacks + O(n*k) host object math.
+        if all(f.p % 2 == 1 and f.p < (1 << 31) for f in self.fields):
+            from ntt_aie_tpu.ops.crt import make_crt_combine
+
+            self._combine, self.nwords = make_crt_combine(self.fields)
+        else:
+            self._combine, self.nwords = None, None
 
     def max_input_bound(self) -> int:
         """Largest allowed |coefficient| for exact signed results: outputs
@@ -109,14 +119,11 @@ class RNSPolymul:
             )
         return [(a % f.p).astype(np.uint32) for f in self.fields]
 
-    def polymul(self, a, b) -> np.ndarray:
-        """Exact cyclic (or negacyclic) product of signed-integer-coefficient
-        polynomials; inputs must be ints with |c| <= max_input_bound().
-        Output coefficients are exact signed integers (centered lift)."""
+    def _residue_products(self, a, b) -> list:
+        """Dispatch every prime's polymul before fetching any result:
+        JAX dispatch is async, so the k independent transforms overlap."""
         import jax.numpy as jnp
 
-        # Dispatch every prime's polymul before fetching any result:
-        # JAX dispatch is async, so the k independent transforms overlap.
         pending = []
         for plan, ra, rb in zip(self.plans, self._residues(a), self._residues(b)):
             fn = plan.negacyclic_polymul if self.negacyclic else plan.polymul
@@ -124,7 +131,35 @@ class RNSPolymul:
                 pending.append(fn(plan.shard_input(ra), plan.shard_input(rb)))
             else:
                 pending.append(fn(jnp.asarray(ra), jnp.asarray(rb)))
-        res = [np.asarray(r).reshape(-1) for r in pending]
+        return pending
+
+    def polymul_limbs(self, a, b):
+        """Exact product with the CRT combine ON DEVICE: returns an
+        (n, nwords) uint32 device array — little-endian limbs of the
+        centered representative in (-M/2, M/2], two's-complement encoded
+        (ops/crt.py). The k residue transforms AND the Garner
+        recomposition run without any host round trip; consumers that
+        want Python ints apply `ops.crt.limbs_to_int` (what `polymul`
+        does), consumers that keep multi-word form (bignum pipelines)
+        read the limbs directly."""
+        if self._combine is None:
+            raise ValueError(
+                "device CRT combine needs odd primes < 2^31; this prime "
+                "set falls back to host combine (use polymul())")
+        pending = self._residue_products(a, b)
+        if self.mesh is not None:
+            pending = [r.reshape(-1) for r in pending]
+        return self._combine(*pending)
+
+    def polymul(self, a, b) -> np.ndarray:
+        """Exact cyclic (or negacyclic) product of signed-integer-coefficient
+        polynomials; inputs must be ints with |c| <= max_input_bound().
+        Output coefficients are exact signed integers (centered lift)."""
+        if self._combine is not None:
+            from ntt_aie_tpu.ops.crt import limbs_to_int
+
+            return limbs_to_int(np.asarray(self.polymul_limbs(a, b)))
+        res = [np.asarray(r).reshape(-1) for r in self._residue_products(a, b)]
         # CRT: c = sum_i r_i * e_i mod M (object math, exact)
         acc = np.zeros(self.n, dtype=object)
         for r, e in zip(res, self._basis):
