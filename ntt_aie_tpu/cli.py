@@ -319,7 +319,8 @@ def cmd_scaling(args) -> int:
                        mode=args.mode, engine=args.engine, batch=args.batch,
                        iters=args.iters, overlap_chunks=args.overlap_chunks,
                        topology=args.topology,
-                       wmat_factored=True if args.wmat_factored else None)
+                       wmat_factored=True if args.wmat_factored else None,
+                       hier_groups=args.hier_groups)
     print(json.dumps(rows))
     return 0
 
@@ -419,6 +420,10 @@ def main(argv=None) -> int:
                     choices=["fourstep", "pairwise"],
                     help="'pairwise' times the reference's per-stage "
                          "exchange topology for comparison")
+    pc.add_argument("--hier-groups", type=int, default=1,
+                    help="G > 1 runs fourstep cells on a (G, D/G) "
+                         "two-level mesh with the hierarchical (DCN x "
+                         "ICI) transpose decomposition")
     pc.set_defaults(fn=cmd_scaling)
 
     pp = sub.add_parser("plot")

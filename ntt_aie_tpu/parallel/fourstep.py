@@ -39,6 +39,71 @@ from ntt_aie_tpu.ops import stages as S
 from ntt_aie_tpu.ops.reductions import make_reduction, resolve_kind
 
 
+def _regroup_rows(y, axis: int, a: int, b: int, r: int):
+    """View `axis` (length a*b*r) as (a, b, r) blocks and swap a <-> b.
+
+    The static send-side permutation that makes the two-phase hierarchical
+    all_to_all land rows in the flat collective's order (see
+    _make_transpose_pair); same trick as the overlap-chunk regroup."""
+    shp = y.shape
+    y = y.reshape(shp[:axis] + (a, b, r) + shp[axis + 1:])
+    perm = list(range(y.ndim))
+    perm[axis], perm[axis + 1] = perm[axis + 1], perm[axis]
+    return y.transpose(perm).reshape(shp)
+
+
+def _make_transpose_pair(ax, mesh: Mesh):
+    """Tiled transpose collectives over `ax`, plus the total shard count.
+
+    `ax` is a mesh axis name (flat: ONE all_to_all), or a (major, minor)
+    tuple of axis names for a HIERARCHICAL two-level decomposition — the
+    multi-host shape, mesh axes (dcn, ici): a send-side row regroup, an
+    all_to_all over the minor axis (rides ICI inside each host group),
+    then an all_to_all over the major axis whose messages are L-times
+    larger and fewer (the fine-grained per-chip reshuffle already
+    happened on ICI, so DCN moves contiguous blocks). Total bytes match
+    the flat collective; outputs are bit-identical (fwd(hier) == fwd(flat)
+    is regression-tested, and inv is the exact functional mirror
+    R^-1 . A_minor^-1 . A_major^-1, so it matches too).
+
+    Returned closures take (y, r, row_axis, col_axis): r is the per-shard
+    row-block height of the transpose (n1/D, or the chunk width w1), and
+    row/col axes locate the split/concat dims (shifted by one under a
+    leading dp batch dim).
+    """
+    if isinstance(ax, str):
+        def fwd(y, r, row_axis=0, col_axis=1):
+            return jax.lax.all_to_all(y, ax, split_axis=row_axis,
+                                      concat_axis=col_axis, tiled=True)
+
+        def inv(y, r, row_axis=0, col_axis=1):
+            return jax.lax.all_to_all(y, ax, split_axis=col_axis,
+                                      concat_axis=row_axis, tiled=True)
+
+        return fwd, inv, mesh.shape[ax]
+
+    axg, axl = ax
+    G, L = mesh.shape[axg], mesh.shape[axl]
+
+    def fwd(y, r, row_axis=0, col_axis=1):
+        # want device (g, l) to receive sender row block g*L + l (the flat
+        # id); the two-phase exchange delivers block l*G + g, so pre-swap
+        y = _regroup_rows(y, row_axis, G, L, r)
+        y = jax.lax.all_to_all(y, axl, split_axis=row_axis,
+                               concat_axis=col_axis, tiled=True)
+        return jax.lax.all_to_all(y, axg, split_axis=row_axis,
+                                  concat_axis=col_axis, tiled=True)
+
+    def inv(y, r, row_axis=0, col_axis=1):
+        y = jax.lax.all_to_all(y, axg, split_axis=col_axis,
+                               concat_axis=row_axis, tiled=True)
+        y = jax.lax.all_to_all(y, axl, split_axis=col_axis,
+                               concat_axis=row_axis, tiled=True)
+        return _regroup_rows(y, row_axis, L, G, r)
+
+    return fwd, inv, G * L
+
+
 @dataclasses.dataclass
 class DistributedPlan:
     config: NTTConfig
@@ -79,6 +144,7 @@ def build_distributed_plan(
     dp_axis: str | None = None,
     overlap_chunks: int = 1,
     wmat_factored: bool | None = None,
+    hier_axes: tuple | None = None,
 ) -> DistributedPlan:
     """Distributed plan over `mesh`'s `config.mesh_axis`.
 
@@ -106,6 +172,16 @@ def build_distributed_plan(
     (B, n1, n2) sharded P(dp, None, x) — data parallelism over transforms
     composed with coefficient sharding within each transform.
 
+    hier_axes = (major, minor) mesh axis names decomposes the transpose
+    collective hierarchically for two-level networks (DCN hosts x ICI
+    chips): the minor-axis all_to_all rides ICI inside each group, the
+    major-axis one then moves L-times-larger contiguous blocks across
+    groups (see _make_transpose_pair). Coefficients shard over BOTH axes
+    (P(None, (major, minor))); outputs are bit-identical to the flat
+    single-axis plan on the same total device count (regression-tested).
+    Composes with overlap_chunks (each chunk's collective decomposes the
+    same way).
+
     overlap_chunks = C > 1 splits the transpose collective into C
     independent all_to_alls chunked over the n1 axis so the collective
     rides the ICI *while* local butterfly passes run (SURVEY.md §7 hard
@@ -126,8 +202,8 @@ def build_distributed_plan(
     red = make_reduction(kind, field)
     n = config.n
     p = field.p
-    ax = config.mesh_axis
-    D = mesh.shape[ax]
+    ax = tuple(hier_axes) if hier_axes is not None else config.mesh_axis
+    a2a_f, a2a_i, D = _make_transpose_pair(ax, mesh)
     n1, n2 = config.split
     if n2 % D:
         raise ValueError(f"n2={n2} must divide by mesh axis size {D}")
@@ -375,8 +451,7 @@ def build_distributed_plan(
                 y = p1(x, t1)
                 if C == 1:
                     # one monolithic all_to_all: (n1, n2/D) -> (n1/D, n2)
-                    y = jax.lax.all_to_all(y, ax, split_axis=0, concat_axis=1,
-                                           tiled=True)
+                    y = a2a_f(y, w1)
                     return p2(y.T, t2, 0)
                 # Chunked overlap: regroup rows by (dest device, chunk) and
                 # issue one independent all_to_all per chunk — pass-2 column
@@ -388,8 +463,7 @@ def build_distributed_plan(
                 outs = []
                 for c in range(C):
                     yc = yg[:, c].reshape(D * w1, n2 // D)
-                    tc = jax.lax.all_to_all(yc, ax, split_axis=0,
-                                            concat_axis=1, tiled=True)  # (w1, n2)
+                    tc = a2a_f(yc, w1)                    # (w1, n2)
                     outs.append(p2(tc.T, t2, c))          # (n2, w1)
                 return jnp.concatenate(outs, axis=1)      # (n2, n1/D)
             return fwd_body
@@ -401,8 +475,7 @@ def build_distributed_plan(
                 if C == 1:
                     y = ip2(x, t2, 0)
                     y = y.T  # (n1/D, n2)
-                    y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=0,
-                                           tiled=True)
+                    y = a2a_i(y, w1)
                     return ip1(y, t1)  # (n1, n2/D)
                 # Producer-side overlap: chunk k's collective flies while
                 # pass-2 (ipass2) computes chunk k+1. Received chunks are
@@ -411,8 +484,7 @@ def build_distributed_plan(
                 for c in range(C):
                     xc = jax.lax.slice_in_dim(x, c * w1, (c + 1) * w1, axis=1)
                     yc = ip2(xc, t2, c)                   # (n2, w1)
-                    tc = jax.lax.all_to_all(yc.T, ax, split_axis=1,
-                                            concat_axis=0, tiled=True)
+                    tc = a2a_i(yc.T, w1)
                     recv.append(tc)                       # (D*w1, n2/D)
                 z = jnp.stack(recv, axis=0)               # (C, D*w1, n2/D)
                 z = z.reshape(C, D, w1, n2 // D).transpose(1, 0, 2, 3)
@@ -424,7 +496,7 @@ def build_distributed_plan(
             def fwd_body(x, *tabs):
                 t1, t2 = tabs[:n_t1], tabs[n_t1:]
                 y = jax.vmap(lambda xb: p1(xb, t1))(x)
-                y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=2, tiled=True)
+                y = a2a_f(y, n1 // D, 1, 2)
                 y = jnp.transpose(y, (0, 2, 1))
                 return jax.vmap(lambda xb: p2(xb, t2, 0))(y)
             return fwd_body
@@ -434,7 +506,7 @@ def build_distributed_plan(
                 t2, t1 = tabs[:n_t2], tabs[n_t2:]
                 y = jax.vmap(lambda xb: ip2(xb, t2, 0))(x)
                 y = jnp.transpose(y, (0, 2, 1))
-                y = jax.lax.all_to_all(y, ax, split_axis=2, concat_axis=1, tiled=True)
+                y = a2a_i(y, n1 // D, 1, 2)
                 return jax.vmap(lambda xb: ip1(xb, t1))(y)
             return inv_body
 
@@ -552,7 +624,8 @@ def pairwise_global_stage(x_local, stage_idx: int, D: int, axis: str,
 
 def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
                               overlap_chunks: int = 1,
-                              dp_axis: str | None = None) -> DistributedPlan:
+                              dp_axis: str | None = None,
+                              hier_axes: tuple | None = None) -> DistributedPlan:
     """Distributed four-step NTT for p = 2^64 - 2^32 + 1: same structure as
     build_distributed_plan but every value travels as a (hi, lo) uint32 limb
     pair — two same-shaped arrays through the same shardings and the same
@@ -571,8 +644,8 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
     field = config.field
     n = config.n
     p = field.p
-    ax = config.mesh_axis
-    D = mesh.shape[ax]
+    ax = tuple(hier_axes) if hier_axes is not None else config.mesh_axis
+    a2a_f, a2a_i, D = _make_transpose_pair(ax, mesh)
     n1, n2 = config.split
     if n2 % D or n1 % D:
         raise ValueError(f"split {config.split} must divide by mesh size {D}")
@@ -604,12 +677,11 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
         colshard = P(dp_axis, None, ax)  # (batch, rows, cols)
         wspec = P(None, ax)
 
-    def _a2a(h, l, split_axis, concat_axis):
-        h = jax.lax.all_to_all(h, ax, split_axis=split_axis,
-                               concat_axis=concat_axis, tiled=True)
-        l = jax.lax.all_to_all(l, ax, split_axis=split_axis,
-                               concat_axis=concat_axis, tiled=True)
-        return h, l
+    def _a2a_fwd(h, l, r, row_axis=0, col_axis=1):
+        return a2a_f(h, r, row_axis, col_axis), a2a_f(l, r, row_axis, col_axis)
+
+    def _a2a_inv(h, l, r, row_axis=0, col_axis=1):
+        return a2a_i(h, r, row_axis, col_axis), a2a_i(l, r, row_axis, col_axis)
 
     def fwd_body(h, l, wh, wl, *psi):
         # psi: optional negacyclic limb pair applied BEFORE pass 1
@@ -618,7 +690,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
         h, l = gl_dif_stages(h, l, *tw1)
         h, l = M.gl_mul(h, l, wh, wl)
         if C == 1:
-            h, l = _a2a(h, l, 0, 1)
+            h, l = _a2a_fwd(h, l, w1)
             return gl_dif_stages(h.T, l.T, *tw2)
         # Chunked overlap over the target n1 rows — the same regrouping as
         # the 32-bit plan, applied to both limb planes.
@@ -626,8 +698,8 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
         lg = l.reshape(D, C, w1, n2 // D)
         oh, ol = [], []
         for c in range(C):
-            tch, tcl = _a2a(hg[:, c].reshape(D * w1, n2 // D),
-                            lg[:, c].reshape(D * w1, n2 // D), 0, 1)
+            tch, tcl = _a2a_fwd(hg[:, c].reshape(D * w1, n2 // D),
+                                lg[:, c].reshape(D * w1, n2 // D), w1)
             rh, rl = gl_dif_stages(tch.T, tcl.T, *tw2)   # (n2, w1)
             oh.append(rh)
             ol.append(rl)
@@ -637,14 +709,14 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
         # psi: optional negacyclic psi^-1 limb pair applied AFTER pass 1
         if C == 1:
             h, l = gl_dit_stages(h, l, *itw2)
-            h, l = _a2a(h.T, l.T, 1, 0)
+            h, l = _a2a_inv(h.T, l.T, w1)
         else:
             rh, rl = [], []
             for c in range(C):
                 hc = jax.lax.slice_in_dim(h, c * w1, (c + 1) * w1, axis=1)
                 lc = jax.lax.slice_in_dim(l, c * w1, (c + 1) * w1, axis=1)
                 yh, yl = gl_dit_stages(hc, lc, *itw2)    # (n2, w1)
-                tch, tcl = _a2a(yh.T, yl.T, 1, 0)        # (D*w1, n2/D)
+                tch, tcl = _a2a_inv(yh.T, yl.T, w1)      # (D*w1, n2/D)
                 rh.append(tch)
                 rl.append(tcl)
             h = jnp.stack(rh, 0).reshape(C, D, w1, n2 // D) \
@@ -666,7 +738,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
                 h, l = M.gl_mul(h, l, psi[0], psi[1])  # broadcasts over B
             h, l = jax.vmap(lambda hb, lb: gl_dif_stages(hb, lb, *tw1))(h, l)
             h, l = M.gl_mul(h, l, wh, wl)
-            h, l = _a2a(h, l, 1, 2)
+            h, l = _a2a_fwd(h, l, n1 // D, 1, 2)
             h = jnp.transpose(h, (0, 2, 1))
             l = jnp.transpose(l, (0, 2, 1))
             return jax.vmap(lambda hb, lb: gl_dif_stages(hb, lb, *tw2))(h, l)
@@ -675,7 +747,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
             h, l = jax.vmap(lambda hb, lb: gl_dit_stages(hb, lb, *itw2))(h, l)
             h = jnp.transpose(h, (0, 2, 1))
             l = jnp.transpose(l, (0, 2, 1))
-            h, l = _a2a(h, l, 2, 1)
+            h, l = _a2a_inv(h, l, n1 // D, 1, 2)
             h, l = M.gl_mul(h, l, wh, wl)
             h, l = jax.vmap(lambda hb, lb: gl_dit_stages(hb, lb, *itw1))(h, l)
             if psi:

@@ -36,6 +36,18 @@ def make_mesh_2d(dp: int, sp: int, axes: tuple[str, str] = ("dp", "x")) -> Mesh:
     return jax.make_mesh((dp, sp), axes, axis_types=_AUTO * 2)
 
 
+def make_mesh_hier(groups: int, per_group: int,
+                   axes: tuple[str, str] = ("dcn", "ici")) -> Mesh:
+    """Two-level (major, minor) mesh for hierarchical distributed plans:
+    `groups` hosts/pods on the major (DCN) axis x `per_group` chips on the
+    minor (ICI) axis. Pass axes to build_distributed_plan(hier_axes=...)
+    so the transpose collective decomposes per network tier. On a real
+    multi-host slice jax.devices() orders devices host-major, which is
+    exactly this mesh's layout; on a single host the decomposition is a
+    structural/correctness mode (same bytes, two collectives)."""
+    return jax.make_mesh((groups, per_group), axes, axis_types=_AUTO * 2)
+
+
 def shard_vector(x, mesh: Mesh, axis: str = "x"):
     """Place a flat (n,) array contiguously over the mesh axis."""
     return jax.device_put(x, NamedSharding(mesh, P(axis)))

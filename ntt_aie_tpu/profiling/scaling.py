@@ -31,7 +31,8 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
                 iters: int = 5, repeats: int = 3, verbose: bool = True,
                 overlap_chunks: int = 1,
                 topology: str = "fourstep",
-                wmat_factored: bool | None = None) -> list[dict]:
+                wmat_factored: bool | None = None,
+                hier_groups: int = 1) -> list[dict]:
     """Time the distributed forward NTT over meshes of increasing size.
 
     mode='strong': fixed total n = 2^log_n, sharded over D devices.
@@ -42,6 +43,9 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
     topology='pairwise' times the reference's scaling topology instead
     (log2(D) ppermute exchange stages, forward only) for the
     fourstep-vs-pairwise comparison (DESIGN.md §4).
+    hier_groups=G > 1 runs each fourstep cell on a (G, D/G) two-level
+    mesh with the hierarchical transpose decomposition (hier_axes) —
+    the DCN x ICI shape — for device counts divisible by G.
     Returns one row per mesh size with ntts_per_sec and efficiency.
     """
     import jax
@@ -67,7 +71,15 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
         # small n.
         cfg = NTTConfig(field=field, log_n=ln, num_shards=D,
                         rows_log2=ln // 2)
-        mesh = Mesh(np.array(devices[:D]), (cfg.mesh_axis,))
+        hier_axes = None
+        if (hier_groups > 1 and topology == "fourstep"
+                and D % hier_groups == 0 and D > hier_groups):
+            hier_axes = ("dcn", "ici")
+            mesh = Mesh(np.array(devices[:D]).reshape(hier_groups,
+                                                      D // hier_groups),
+                        hier_axes)
+        else:
+            mesh = Mesh(np.array(devices[:D]), (cfg.mesh_axis,))
         n1, n2 = cfg.split
         a = rng.integers(0, min(field.p, 1 << 32), (batch, n1, n2))
         if topology == "pairwise":
@@ -87,7 +99,8 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
             chunks = overlap_chunks if n1 % (D * overlap_chunks) == 0 else 1
             plan = build_distributed_plan(cfg, mesh, engine=engine,
                                           overlap_chunks=chunks,
-                                          wmat_factored=wmat_factored)
+                                          wmat_factored=wmat_factored,
+                                          hier_axes=hier_axes)
             xs = [plan.shard_input(a[i].reshape(-1)) for i in range(batch)]
 
             # fwd+inv roundtrip keeps the chained shape (n1, n2) stable for
@@ -120,6 +133,7 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
             "topology": topology,
             "overlap_chunks": overlap_chunks if topology == "fourstep" else None,
             "wmat_factored": bool(wmat_factored) if topology == "fourstep" else None,
+            "hier": list(mesh.shape.values()) if hier_axes else None,
         }
         rows.append(row)
         if verbose:

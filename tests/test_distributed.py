@@ -561,3 +561,88 @@ def test_goldilocks_distributed_dp_axis(rng):
             nv[i].astype(object),
             ref.schoolbook_negacyclic(a[i].astype(object),
                                       b[i].astype(object), GL.p)), i
+
+
+def test_hierarchical_transpose_bit_exact(rng):
+    """hier_axes=(major, minor): the two-phase DCN x ICI transpose
+    decomposition (send-side regroup + per-tier all_to_alls) must be
+    bit-identical to the flat single-axis plan — fwd, inverse roundtrip,
+    an asymmetric (4, 2) grid, and composition with overlap_chunks."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from ntt_aie_tpu.parallel.mesh import make_mesh_hier
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=13, rows_log2=6, num_shards=8)  # (64,128)
+    a = rng.integers(0, field.p, cfg.n)
+    flat = build_distributed_plan(cfg, make_mesh(8), engine="xla")
+    want = np.asarray(flat.fwd(flat.shard_input(a))).reshape(-1)
+
+    for G, L in ((2, 4), (4, 2)):
+        mesh = make_mesh_hier(G, L)
+        hier = build_distributed_plan(cfg, mesh, engine="xla",
+                                      hier_axes=("dcn", "ici"))
+        spec = hier.fwd(hier.shard_input(a))
+        assert np.array_equal(np.asarray(spec).reshape(-1), want), (G, L)
+        back = np.asarray(hier.inv(spec)).reshape(-1)
+        assert np.array_equal(back, a), (G, L)
+
+    # hier + chunked overlap compose: each chunk's collective decomposes
+    mesh = make_mesh_hier(2, 4)
+    hc = build_distributed_plan(cfg, mesh, engine="xla",
+                                hier_axes=("dcn", "ici"), overlap_chunks=2)
+    assert np.array_equal(np.asarray(hc.fwd(hc.shard_input(a))).reshape(-1),
+                          want)
+    back = np.asarray(hc.inv(hc.shard_spectral(want))).reshape(-1)
+    assert np.array_equal(back, a)
+
+
+def test_hierarchical_negacyclic_and_wfac(rng):
+    """Hierarchical mesh with the factored-twiddle + negacyclic plan: the
+    psi rank-1 operands and wfac lane shards ride the two-level specs."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from ntt_aie_tpu.parallel.mesh import make_mesh_hier
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=5, num_shards=8,
+                    negacyclic=True)
+    a = rng.integers(0, field.p, cfg.n)
+    b = rng.integers(0, field.p, cfg.n)
+    flat = build_distributed_plan(cfg, make_mesh(8), engine="xla")
+    want = np.asarray(
+        flat.negacyclic_polymul(flat.shard_input(a), flat.shard_input(b))
+    ).reshape(-1)
+    mesh = make_mesh_hier(2, 4)
+    hier = build_distributed_plan(cfg, mesh, engine="xla",
+                                  hier_axes=("dcn", "ici"),
+                                  wmat_factored=True)
+    got = np.asarray(
+        hier.negacyclic_polymul(hier.shard_input(a), hier.shard_input(b))
+    ).reshape(-1)
+    assert np.array_equal(got, want)
+
+
+def test_goldilocks_hierarchical(rng):
+    """GL limb-pair plan over a hierarchical mesh == flat GL plan."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from ntt_aie_tpu.parallel.fourstep import build_gl_distributed_plan
+    from ntt_aie_tpu.parallel.mesh import make_mesh_hier
+
+    GL = F.GOLDILOCKS
+    cfg = NTTConfig(field=GL, log_n=12, rows_log2=6, num_shards=8)
+    a = rng.integers(0, GL.p, cfg.n, dtype=np.uint64)
+    flat = build_gl_distributed_plan(cfg, make_mesh(8))
+    fh, fl = (np.asarray(x) for x in flat.fwd(flat.shard_input(a)))
+    want = (fh.astype(np.uint64) << np.uint64(32)) | fl.astype(np.uint64)
+    mesh = make_mesh_hier(2, 4)
+    hier = build_gl_distributed_plan(cfg, mesh, hier_axes=("dcn", "ici"),
+                                     overlap_chunks=2)
+    out = hier.fwd(hier.shard_input(a))
+    gh, gl_ = (np.asarray(x) for x in out)
+    got = (gh.astype(np.uint64) << np.uint64(32)) | gl_.astype(np.uint64)
+    assert np.array_equal(got, want)
+    bh, bl = (np.asarray(x) for x in hier.inv(out))
+    back = (bh.astype(np.uint64) << np.uint64(32)) | bl.astype(np.uint64)
+    assert np.array_equal(back.reshape(-1), a)
