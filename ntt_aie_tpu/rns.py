@@ -109,9 +109,11 @@ class RNSPolymul:
     def _residues(self, a) -> list[np.ndarray]:
         a = np.asarray(a, dtype=object)
         bound = self.max_input_bound()
-        if a.shape != (self.n,):
-            raise ValueError(f"expected shape ({self.n},), got {a.shape}")
-        lo, hi = int(min(a)), int(max(a))
+        if not (a.shape == (self.n,)
+                or (a.ndim == 2 and a.shape[1] == self.n)):
+            raise ValueError(
+                f"expected shape ({self.n},) or (B, {self.n}), got {a.shape}")
+        lo, hi = int(a.min()), int(a.max())
         if lo < -bound or hi > bound:
             raise ValueError(
                 f"coefficients must satisfy |c| <= {bound} for exact "
@@ -121,21 +123,36 @@ class RNSPolymul:
 
     def _residue_products(self, a, b) -> list:
         """Dispatch every prime's polymul before fetching any result:
-        JAX dispatch is async, so the k independent transforms overlap."""
+        JAX dispatch is async, so the k independent transforms overlap.
+        Inputs may carry a leading batch dim (single-chip plans route to
+        the batched kernel builders; see Plan.make_batched)."""
         import jax.numpy as jnp
 
+        ra_all, rb_all = self._residues(a), self._residues(b)
+        batch = ra_all[0].shape[0] if ra_all[0].ndim == 2 else None
+        key = "negacyclic_polymul" if self.negacyclic else "polymul"
         pending = []
-        for plan, ra, rb in zip(self.plans, self._residues(a), self._residues(b)):
-            fn = plan.negacyclic_polymul if self.negacyclic else plan.polymul
+        for plan, ra, rb in zip(self.plans, ra_all, rb_all):
             if self.mesh is not None:
+                if batch is not None:
+                    raise ValueError(
+                        "batched RNS polymul is single-chip only; with "
+                        "mesh= pass one (n,) vector per call (or build "
+                        "the distributed plans with dp_axis yourself)")
+                fn = plan.negacyclic_polymul if self.negacyclic else plan.polymul
                 pending.append(fn(plan.shard_input(ra), plan.shard_input(rb)))
+            elif batch is not None:
+                fn = plan.make_batched(batch)[key]
+                pending.append(fn(jnp.asarray(ra), jnp.asarray(rb)))
             else:
+                fn = plan.negacyclic_polymul if self.negacyclic else plan.polymul
                 pending.append(fn(jnp.asarray(ra), jnp.asarray(rb)))
         return pending
 
     def polymul_limbs(self, a, b):
         """Exact product with the CRT combine ON DEVICE: returns an
-        (n, nwords) uint32 device array — little-endian limbs of the
+        (n, nwords) — or (B, n, nwords) for batched (B, n) inputs,
+        single-chip — uint32 device array: little-endian limbs of the
         centered representative in (-M/2, M/2], two's-complement encoded
         (ops/crt.py). The k residue transforms AND the Garner
         recomposition run without any host round trip; consumers that
@@ -159,9 +176,11 @@ class RNSPolymul:
             from ntt_aie_tpu.ops.crt import limbs_to_int
 
             return limbs_to_int(np.asarray(self.polymul_limbs(a, b)))
-        res = [np.asarray(r).reshape(-1) for r in self._residue_products(a, b)]
+        res = [np.asarray(r) for r in self._residue_products(a, b)]
+        if self.mesh is not None:
+            res = [r.reshape(-1) for r in res]
         # CRT: c = sum_i r_i * e_i mod M (object math, exact)
-        acc = np.zeros(self.n, dtype=object)
+        acc = np.zeros(res[0].shape, dtype=object)
         for r, e in zip(res, self._basis):
             acc += r.astype(object) * e
         acc %= self.modulus

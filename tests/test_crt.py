@@ -109,3 +109,44 @@ def test_limbs_to_int_sign_extension():
     assert list(out) == [-1, 1]
     outu = limbs_to_int(arr, signed=False)
     assert list(outu) == [(1 << 64) - 1, 1]
+
+
+def test_rns_batched_polymul(rng):
+    """(B, n) inputs route to the plans' batched kernel builders and the
+    elementwise device combine broadcasts over the batch axis."""
+    from ntt_aie_tpu.rns import RNSPolymul
+
+    n, B = 16, 3
+    rns = RNSPolymul(4)
+    bound = 1 << 30
+    a = np.array([[int(x) for x in rng.integers(-bound, bound, n)]
+                  for _ in range(B)], dtype=object)
+    b = np.array([[int(x) for x in rng.integers(-bound, bound, n)]
+                  for _ in range(B)], dtype=object)
+    limbs = np.asarray(rns.polymul_limbs(a, b))
+    assert limbs.shape == (B, n, rns.nwords)
+    got = rns.polymul(a, b)
+    assert got.shape == (B, n)
+    for i in range(B):
+        assert np.array_equal(got[i], rns.polymul(a[i], b[i])), f"row {i}"
+
+    # batched host-combine fallback agrees too
+    combine = rns._combine
+    rns._combine = None
+    try:
+        host = rns.polymul(a, b)
+    finally:
+        rns._combine = combine
+    assert np.array_equal(host, got)
+
+    # mesh + batch is an explicit error (single-chip only)
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) >= 8:
+        from ntt_aie_tpu.parallel.mesh import make_mesh
+
+        rm = RNSPolymul(10, mesh=make_mesh(8), engine="xla")
+        ab = np.ones((2, 1 << 10), dtype=object)
+        with _pytest.raises(ValueError, match="single-chip"):
+            rm.polymul(ab, ab)
