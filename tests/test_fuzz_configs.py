@@ -76,3 +76,62 @@ def test_config_json_roundtrip():
     assert cfg2 == cfg
     custom = NTTConfig(field=F.PrimeField(p=12289, g=11), log_n=8)
     assert NTTConfig.from_json(custom.to_json()).field.p == 12289
+
+
+def _dist_cases():
+    rng = np.random.default_rng(20260818)
+    for i in range(6):
+        field = FIELDS[rng.integers(0, len(FIELDS))]
+        log_n = int(rng.integers(10, 14))
+        hier = bool(rng.random() < 0.5)
+        chunks = [1, 2][rng.integers(0, 2)]
+        wfac = bool(rng.random() < 0.4)
+        nega = bool(rng.random() < 0.4)
+        yield pytest.param(field, log_n, hier, chunks, wfac, nega,
+                           id=f"d{i}-{field.name}-n{log_n}"
+                              f"{'-hier' if hier else ''}-c{chunks}"
+                              f"{'-wfac' if wfac else ''}"
+                              f"{'-nega' if nega else ''}")
+
+
+@pytest.mark.parametrize("field,log_n,hier,chunks,wfac,nega", _dist_cases())
+def test_fuzzed_distributed_config(field, log_n, hier, chunks, wfac, nega,
+                                   rng):
+    """Distributed plan space fuzz on the virtual mesh: every sampled
+    (field, size, flat/hier topology, overlap chunking, twiddle mode,
+    negacyclic) composition must match the single-chip plan bit-exactly."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    if (1 << log_n) > field.max_n:
+        pytest.skip("n exceeds field")
+    from ntt_aie_tpu.parallel.fourstep import build_distributed_plan
+    from ntt_aie_tpu.parallel.mesh import make_mesh, make_mesh_hier
+
+    D = 8
+    rows_log2 = max(log_n // 2, 4)  # n1, n2 >= 16 both divide D
+    cfg = NTTConfig(field=field, log_n=log_n, rows_log2=rows_log2,
+                    num_shards=D, negacyclic=nega)
+    if cfg.split[0] % (D * chunks):
+        chunks = 1
+    mesh = make_mesh_hier(2, 4) if hier else make_mesh(D)
+    dist = build_distributed_plan(
+        cfg, mesh, engine="xla", overlap_chunks=chunks,
+        wmat_factored=wfac or None,
+        hier_axes=("dcn", "ici") if hier else None)
+    single = build_plan(cfg, engine="xla")
+    a = rng.integers(0, field.p, cfg.n)
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+    got = np.asarray(dist.fwd(dist.shard_input(a))).reshape(-1)
+    want = np.asarray(single.fwd(aj))
+    assert np.array_equal(got, want), "distributed fwd != single-chip"
+    back = np.asarray(dist.inv(dist.shard_spectral(got))).reshape(-1)
+    assert np.array_equal(back, a), "roundtrip"
+    if nega:
+        b = rng.integers(0, field.p, cfg.n)
+        gn = np.asarray(dist.negacyclic_polymul(
+            dist.shard_input(a), dist.shard_input(b))).reshape(-1)
+        wn = np.asarray(single.negacyclic_polymul(
+            aj, jnp.asarray(b, dtype=jnp.uint32)))
+        assert np.array_equal(gn, wn), "negacyclic"
