@@ -67,6 +67,19 @@ def main() -> int:
     print(f"negacyclic polymul over {D} device(s): ✓ "
           f"(oracle-checked at n=2^9)")
 
+    # hierarchical (DCN x ICI) two-level mesh: the transpose decomposes
+    # per network tier, bit-identical to the flat plan
+    if D >= 4:
+        from ntt_aie_tpu.parallel.mesh import make_mesh_hier
+
+        hmesh = make_mesh_hier(2, D // 2)
+        hplan = build_distributed_plan(cfg, hmesh,
+                                       hier_axes=("dcn", "ici"))
+        hspec = np.asarray(hplan.fwd(hplan.shard_input(a))).reshape(-1)
+        assert np.array_equal(hspec, np.asarray(spec).reshape(-1))
+        print(f"hierarchical 2x{D // 2} (dcn x ici) mesh: two-phase "
+              f"transpose bit-identical to flat ✓")
+
     # exact big-integer product over the mesh via RNS/CRT
     from ntt_aie_tpu.rns import RNSPolymul
 
