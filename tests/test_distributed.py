@@ -646,3 +646,28 @@ def test_goldilocks_hierarchical(rng):
     bh, bl = (np.asarray(x) for x in hier.inv(out))
     back = (bh.astype(np.uint64) << np.uint64(32)) | bl.astype(np.uint64)
     assert np.array_equal(back.reshape(-1), a)
+
+
+def test_hierarchical_with_dp_batch(rng):
+    """3-axis mesh (dp x dcn x ici): data-parallel batch composed with the
+    hierarchical two-phase transpose — bit-exact vs the single-chip plan
+    per batch row."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("dp", "dcn", "ici"))
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=6, num_shards=4)  # (64,64)
+    B = 4
+    ab = rng.integers(0, field.p, (B, cfg.n))
+    dist = build_distributed_plan(cfg, mesh, engine="xla", dp_axis="dp",
+                                  hier_axes=("dcn", "ici"))
+    single = build_plan(cfg, engine="xla")
+    got = np.asarray(dist.fwd(dist.shard_input(ab)))
+    for i in range(B):
+        want = np.asarray(single.fwd(jnp.asarray(ab[i], dtype=jnp.uint32)))
+        assert np.array_equal(got[i].reshape(-1), want), f"batch row {i}"
+    back = np.asarray(dist.inv(jnp.asarray(got))).reshape(B, -1)
+    assert np.array_equal(back, ab)
