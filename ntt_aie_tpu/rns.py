@@ -48,6 +48,16 @@ class RNSPolymul:
         self.log_n = log_n
         self.n = 1 << log_n
         self.fields = tuple(prime_fields)
+        for f in self.fields:
+            if f.p >= (1 << 31):
+                # residues are staged through uint32 device arrays; a wide
+                # prime (Goldilocks) would silently wrap. Wide-coefficient
+                # workloads either use more word primes here or the native
+                # limb path directly (DESIGN.md §5 decision rule).
+                raise ValueError(
+                    f"RNS residue primes must be < 2^31 (got {f.p}); use "
+                    "additional word primes, or goldilocks_plan for native "
+                    "mod-p_gl arithmetic")
         for i, f in enumerate(self.fields):
             for g in self.fields[i + 1 :]:
                 if math.gcd(f.p, g.p) != 1:

@@ -121,3 +121,14 @@ def test_rns_distributed_mesh(rng):
     t = np.array([int(x) - bound // 2 for x in rng.integers(0, bound, n)],
                  dtype=object)
     assert np.array_equal(rneg.polymul(s, t), sneg.polymul(s, t))
+
+
+def test_rns_rejects_wide_primes():
+    """A Goldilocks residue would silently wrap in the uint32 staging;
+    must be an explicit error pointing at the native limb path."""
+    import pytest
+
+    from ntt_aie_tpu import fields as F
+
+    with pytest.raises(ValueError, match="2\\^31"):
+        RNSPolymul(4, (F.GOLDILOCKS, F.P_998244353))
