@@ -187,11 +187,15 @@ class NTTContext:
         from ntt_aie_tpu.parallel.fourstep import build_gl_distributed_plan
 
         cfg = self.config
-        bad = sorted(set(self._plan_kwargs) - {"overlap_chunks"})
+        # dp_axis stays excluded: the context's ordering/conversion wrappers
+        # below assume unbatched flat vectors (use the builder directly for
+        # dp-batched GL work).
+        ok = {"overlap_chunks", "hier_axes"}
+        bad = sorted(set(self._plan_kwargs) - ok)
         if bad:
             raise TypeError(
                 f"plan kwargs {bad} are not supported by the Goldilocks "
-                "distributed builder (only overlap_chunks)")
+                f"distributed builder here (only {sorted(ok)})")
         plan = build_gl_distributed_plan(cfg, self.mesh, **self._plan_kwargs)
         n = cfg.n
         natural = cfg.ordering == "natural"

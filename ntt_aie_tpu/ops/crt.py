@@ -44,7 +44,6 @@ from ntt_aie_tpu.ops import modops as M
 
 U32 = jnp.uint32
 C32 = np.uint32
-_W64 = np.uint64(0xFFFFFFFF)
 
 
 def _to_limbs(x: int, nwords: int) -> list[np.uint32]:
@@ -94,6 +93,14 @@ def make_crt_combine(fields: Sequence, *, centered: bool = True):
         if f.p % 2 == 0 or f.p >= (1 << 31):
             raise ValueError(
                 f"device CRT needs odd primes < 2^31, got {f.p}")
+    import math
+
+    for i, f in enumerate(fields):
+        for g in fields[i + 1:]:
+            if math.gcd(f.p, g.p) != 1:
+                raise ValueError(
+                    f"CRT moduli must be pairwise coprime; got {f.p} and "
+                    f"{g.p} (a shared factor makes the basis degenerate)")
     # Garner chain in ascending-prime order so every digit v_j < p_j is
     # already reduced mod any later (larger) p_i.
     order = sorted(range(k), key=lambda i: fields[i].p)

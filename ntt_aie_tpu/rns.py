@@ -174,9 +174,12 @@ class RNSPolymul:
                 "device CRT combine needs odd primes < 2^31; this prime "
                 "set falls back to host combine (use polymul())")
         pending = self._residue_products(a, b)
+        out = self._combine(*pending)  # elementwise: any residue shape
         if self.mesh is not None:
-            pending = [r.reshape(-1) for r in pending]
-        return self._combine(*pending)
+            # distributed residue products are (n1, n2) matrices; flatten
+            # once on the combined output (one dispatch, not k)
+            out = out.reshape(-1, self.nwords)
+        return out
 
     def polymul(self, a, b) -> np.ndarray:
         """Exact cyclic (or negacyclic) product of signed-integer-coefficient

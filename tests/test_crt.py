@@ -150,3 +150,8 @@ def test_rns_batched_polymul(rng):
         ab = np.ones((2, 1 << 10), dtype=object)
         with _pytest.raises(ValueError, match="single-chip"):
             rm.polymul(ab, ab)
+
+
+def test_combine_rejects_duplicate_primes():
+    with pytest.raises(ValueError, match="coprime"):
+        make_crt_combine((F.P_998244353, F.P_998244353))

@@ -671,3 +671,22 @@ def test_hierarchical_with_dp_batch(rng):
         assert np.array_equal(got[i].reshape(-1), want), f"batch row {i}"
     back = np.asarray(dist.inv(jnp.asarray(got))).reshape(B, -1)
     assert np.array_equal(back, ab)
+
+
+def test_goldilocks_hier_through_nttcontext(rng):
+    """NTTContext(mesh=..., hier_axes=...) must route hier to the GL
+    builder too (the kwargs allowlist once rejected it)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from ntt_aie_tpu.api import NTTContext
+    from ntt_aie_tpu.parallel.mesh import make_mesh_hier
+
+    GL = F.GOLDILOCKS
+    cfg = NTTConfig(field=GL, log_n=12, rows_log2=6, num_shards=8)
+    ctx = NTTContext(cfg, mesh=make_mesh_hier(2, 4),
+                     hier_axes=("dcn", "ici"))
+    flat = NTTContext(cfg, mesh=make_mesh(8))
+    v = rng.integers(0, GL.p, cfg.n, dtype=np.uint64)
+    got = np.asarray(ctx.forward(v))
+    want = np.asarray(flat.forward(v))
+    assert np.array_equal(got, want)

@@ -111,6 +111,8 @@ def test_fuzzed_distributed_config(field, log_n, hier, chunks, wfac, nega,
 
     D = 8
     rows_log2 = max(log_n // 2, 4)  # n1, n2 >= 16 both divide D
+    if nega and (1 << (log_n + 1)) > field.max_n:
+        nega = False  # negacyclic needs a primitive 2n-th root
     cfg = NTTConfig(field=field, log_n=log_n, rows_log2=rows_log2,
                     num_shards=D, negacyclic=nega)
     if cfg.split[0] % (D * chunks):
