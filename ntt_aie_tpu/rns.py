@@ -117,7 +117,10 @@ class RNSPolymul:
         return math.isqrt((self.modulus - 1) // (2 * self.n)) - 1
 
     def _residues(self, a) -> list[np.ndarray]:
-        a = np.asarray(a, dtype=object)
+        a = np.asarray(a)
+        if a.dtype != object and a.dtype.kind not in "iu":
+            # floats/bools would silently truncate; ints only
+            raise TypeError(f"integer coefficients required, got {a.dtype}")
         bound = self.max_input_bound()
         if not (a.shape == (self.n,)
                 or (a.ndim == 2 and a.shape[1] == self.n)):
@@ -129,6 +132,9 @@ class RNSPolymul:
                 f"coefficients must satisfy |c| <= {bound} for exact "
                 f"results (got range [{lo}, {hi}]); use more/larger primes"
             )
+        # machine-int inputs take the vectorized numpy modulo (object math
+        # only when coefficients genuinely exceed the word range); numpy %
+        # returns nonnegative remainders for signed inputs, as needed
         return [(a % f.p).astype(np.uint32) for f in self.fields]
 
     def _residue_products(self, a, b) -> list:

@@ -132,3 +132,19 @@ def test_rns_rejects_wide_primes():
 
     with pytest.raises(ValueError, match="2\\^31"):
         RNSPolymul(4, (F.GOLDILOCKS, F.P_998244353))
+
+
+def test_rns_machine_int_inputs(rng):
+    """int64/uint64 inputs take the vectorized encode and give exactly the
+    object-array results; floats are rejected."""
+    import pytest
+
+    n = 16
+    rns = RNSPolymul(4)
+    a64 = rng.integers(-(1 << 30), 1 << 30, n)          # int64
+    b64 = rng.integers(0, 1 << 31, n).astype(np.uint64)  # uint64
+    got = rns.polymul(a64, b64)
+    want = rns.polymul(a64.astype(object), b64.astype(object))
+    assert np.array_equal(got, want)
+    with pytest.raises(TypeError, match="integer"):
+        rns.polymul(np.ones(n), np.ones(n))
