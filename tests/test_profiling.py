@@ -154,6 +154,13 @@ def test_scaling_harness_virtual_mesh():
     assert rows[0]["efficiency"] == 1.0
     assert all(r["ntts_per_sec"] > 0 for r in rows)
 
+    # hierarchical cells: D=2 stays flat (D == G), D=4 runs on a (2, 2)
+    # two-level mesh and records its shape
+    rows = run_scaling(F.P_469762049, 10, (2, 4), batch=2, iters=2,
+                       repeats=2, verbose=False, hier_groups=2)
+    assert rows[0]["hier"] is None and rows[1]["hier"] == [2, 2]
+    assert all(r["ntts_per_sec"] > 0 for r in rows)
+
 
 def test_stream_transform_pipeline(rng):
     """Streaming pipeline yields the same results as direct calls, in order
