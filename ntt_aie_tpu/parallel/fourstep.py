@@ -194,8 +194,8 @@ def build_distributed_plan(
     side, so the result layout — and every output bit — is identical to
     the monolithic path (regression-tested). Exposed collective time
     drops from 100% to ~1/C once XLA's async scheduler hides the rest.
-    Requires n1 % (D * C) == 0; only the 1D (dp_axis=None) path chunks —
-    the batched path keeps one collective per transform.
+    Requires n1 % (D * C) == 0. The dp-batched path chunks the same way
+    (each transform's collective splits into C per-chunk all_to_alls).
     """
     field = config.field
     kind = resolve_kind(config.reduction, field)
@@ -209,7 +209,7 @@ def build_distributed_plan(
         raise ValueError(f"n2={n2} must divide by mesh axis size {D}")
     if n1 % D:
         raise ValueError(f"n1={n1} must divide by mesh axis size {D} (for the transpose)")
-    C = overlap_chunks if dp_axis is None else 1
+    C = overlap_chunks
     if C < 1:
         raise ValueError("overlap_chunks must be >= 1")
     w1 = n1 // (D * C)
@@ -491,23 +491,47 @@ def build_distributed_plan(
                 return ip1(z.reshape(n1, n2 // D), t1)
             return inv_body
     else:
-        # batched: local blocks (B/dp, n1, n2/D); vmap the 2D local passes
+        # batched: local blocks (B/dp, n1, n2/D); vmap the 2D local passes.
+        # Chunked overlap mirrors the 1D bodies with a leading batch dim
+        # (the a2a row/col axes shift by one).
         def make_fwd_body(p1, n_t1):
             def fwd_body(x, *tabs):
                 t1, t2 = tabs[:n_t1], tabs[n_t1:]
                 y = jax.vmap(lambda xb: p1(xb, t1))(x)
-                y = a2a_f(y, n1 // D, 1, 2)
-                y = jnp.transpose(y, (0, 2, 1))
-                return jax.vmap(lambda xb: p2(xb, t2, 0))(y)
+                if C == 1:
+                    y = a2a_f(y, w1, 1, 2)
+                    y = jnp.transpose(y, (0, 2, 1))
+                    return jax.vmap(lambda xb: p2(xb, t2, 0))(y)
+                bl = y.shape[0]
+                yg = y.reshape(bl, D, C, w1, n2 // D)
+                outs = []
+                for c in range(C):
+                    yc = yg[:, :, c].reshape(bl, D * w1, n2 // D)
+                    tc = a2a_f(yc, w1, 1, 2)           # (bl, w1, n2)
+                    tc = jnp.transpose(tc, (0, 2, 1))  # (bl, n2, w1)
+                    outs.append(jax.vmap(lambda xb: p2(xb, t2, c))(tc))
+                return jnp.concatenate(outs, axis=2)   # (bl, n2, n1/D)
             return fwd_body
 
         def make_inv_body(ip1, n_t2):
             def inv_body(x, *tabs):
                 t2, t1 = tabs[:n_t2], tabs[n_t2:]
-                y = jax.vmap(lambda xb: ip2(xb, t2, 0))(x)
-                y = jnp.transpose(y, (0, 2, 1))
-                y = a2a_i(y, n1 // D, 1, 2)
-                return jax.vmap(lambda xb: ip1(xb, t1))(y)
+                if C == 1:
+                    y = jax.vmap(lambda xb: ip2(xb, t2, 0))(x)
+                    y = jnp.transpose(y, (0, 2, 1))
+                    y = a2a_i(y, w1, 1, 2)
+                    return jax.vmap(lambda xb: ip1(xb, t1))(y)
+                bl = x.shape[0]
+                recv = []
+                for c in range(C):
+                    xc = jax.lax.slice_in_dim(x, c * w1, (c + 1) * w1, axis=2)
+                    yc = jax.vmap(lambda xb: ip2(xb, t2, c))(xc)  # (bl, n2, w1)
+                    tc = a2a_i(jnp.transpose(yc, (0, 2, 1)), w1, 1, 2)
+                    recv.append(tc)                    # (bl, D*w1, n2/D)
+                z = jnp.stack(recv, axis=1)            # (bl, C, D*w1, n2/D)
+                z = z.reshape(bl, C, D, w1, n2 // D).transpose(0, 2, 1, 3, 4)
+                z = z.reshape(bl, n1, n2 // D)
+                return jax.vmap(lambda xb: ip1(xb, t1))(z)
             return inv_body
 
     def smap(body, tab_specs):
@@ -634,8 +658,10 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
 
     With dp_axis set (2D mesh), inputs carry a leading batch dim:
     (B, n1, n2) limb pairs sharded P(dp, None, x) — the same DP x coeff
-    composition as the 32-bit plan. Only the 1D path chunks the
-    collective (overlap_chunks is coerced to 1, as in the 32-bit plan)."""
+    composition as the 32-bit plan; overlap_chunks splits each
+    transform's collective per chunk in both the 1D and batched paths.
+    hier_axes decomposes the transpose per network tier exactly as in
+    build_distributed_plan."""
     from ntt_aie_tpu.goldilocks_plan import (
         _dev_limbs, _split_limbs, gl_dif_stages, gl_dit_stages,
     )
@@ -649,7 +675,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
     n1, n2 = config.split
     if n2 % D or n1 % D:
         raise ValueError(f"split {config.split} must divide by mesh size {D}")
-    C = overlap_chunks if dp_axis is None else 1
+    C = overlap_chunks
     w1 = n1 // (D * C)
     if C < 1 or (C > 1 and w1 * D * C != n1):
         raise ValueError(
@@ -732,22 +758,57 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
     if dp_axis is not None:
         # Batched bodies: vmap the local limb passes over the per-device
         # batch; the two all_to_alls move to the shifted axes (the same
-        # composition as the 32-bit plan's batched bodies).
+        # composition as the 32-bit plan's batched bodies, incl. the
+        # per-chunk collective split when C > 1).
         def fwd_body_b(h, l, wh, wl, *psi):
             if psi:
                 h, l = M.gl_mul(h, l, psi[0], psi[1])  # broadcasts over B
             h, l = jax.vmap(lambda hb, lb: gl_dif_stages(hb, lb, *tw1))(h, l)
             h, l = M.gl_mul(h, l, wh, wl)
-            h, l = _a2a_fwd(h, l, n1 // D, 1, 2)
-            h = jnp.transpose(h, (0, 2, 1))
-            l = jnp.transpose(l, (0, 2, 1))
-            return jax.vmap(lambda hb, lb: gl_dif_stages(hb, lb, *tw2))(h, l)
+            if C == 1:
+                h, l = _a2a_fwd(h, l, w1, 1, 2)
+                h = jnp.transpose(h, (0, 2, 1))
+                l = jnp.transpose(l, (0, 2, 1))
+                return jax.vmap(lambda hb, lb: gl_dif_stages(hb, lb, *tw2))(h, l)
+            bl = h.shape[0]
+            hg = h.reshape(bl, D, C, w1, n2 // D)
+            lg = l.reshape(bl, D, C, w1, n2 // D)
+            oh, ol = [], []
+            for c in range(C):
+                tch, tcl = _a2a_fwd(hg[:, :, c].reshape(bl, D * w1, n2 // D),
+                                    lg[:, :, c].reshape(bl, D * w1, n2 // D),
+                                    w1, 1, 2)
+                rh, rl = jax.vmap(lambda hb, lb: gl_dif_stages(hb, lb, *tw2))(
+                    jnp.transpose(tch, (0, 2, 1)), jnp.transpose(tcl, (0, 2, 1)))
+                oh.append(rh)
+                ol.append(rl)
+            return jnp.concatenate(oh, axis=2), jnp.concatenate(ol, axis=2)
 
         def inv_body_b(h, l, wh, wl, *psi):
-            h, l = jax.vmap(lambda hb, lb: gl_dit_stages(hb, lb, *itw2))(h, l)
-            h = jnp.transpose(h, (0, 2, 1))
-            l = jnp.transpose(l, (0, 2, 1))
-            h, l = _a2a_inv(h, l, n1 // D, 1, 2)
+            if C == 1:
+                h, l = jax.vmap(lambda hb, lb: gl_dit_stages(hb, lb, *itw2))(h, l)
+                h = jnp.transpose(h, (0, 2, 1))
+                l = jnp.transpose(l, (0, 2, 1))
+                h, l = _a2a_inv(h, l, w1, 1, 2)
+            else:
+                bl = h.shape[0]
+                rh, rl = [], []
+                for c in range(C):
+                    hc = jax.lax.slice_in_dim(h, c * w1, (c + 1) * w1, axis=2)
+                    lc = jax.lax.slice_in_dim(l, c * w1, (c + 1) * w1, axis=2)
+                    yh, yl = jax.vmap(
+                        lambda hb, lb: gl_dit_stages(hb, lb, *itw2))(hc, lc)
+                    tch, tcl = _a2a_inv(jnp.transpose(yh, (0, 2, 1)),
+                                        jnp.transpose(yl, (0, 2, 1)), w1, 1, 2)
+                    rh.append(tch)
+                    rl.append(tcl)
+
+                def _regroup_b(parts):
+                    z = jnp.stack(parts, axis=1)   # (bl, C, D*w1, n2/D)
+                    z = z.reshape(bl, C, D, w1, n2 // D).transpose(0, 2, 1, 3, 4)
+                    return z.reshape(bl, n1, n2 // D)
+
+                h, l = _regroup_b(rh), _regroup_b(rl)
             h, l = M.gl_mul(h, l, wh, wl)
             h, l = jax.vmap(lambda hb, lb: gl_dit_stages(hb, lb, *itw1))(h, l)
             if psi:

@@ -690,3 +690,60 @@ def test_goldilocks_hier_through_nttcontext(rng):
     got = np.asarray(ctx.forward(v))
     want = np.asarray(flat.forward(v))
     assert np.array_equal(got, want)
+
+
+def test_dp_batched_overlap_chunks(rng):
+    """Chunked transpose overlap in the dp-BATCHED bodies (32-bit and
+    Goldilocks): bit-identical to the monolithic batched plan, composed
+    with hier on a 3-axis mesh for the 32-bit case."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from jax.sharding import Mesh
+
+    from ntt_aie_tpu.parallel.fourstep import build_gl_distributed_plan
+    from ntt_aie_tpu.parallel.mesh import make_mesh_2d
+
+    field = F.P_469762049
+    mesh = make_mesh_2d(2, 4)
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=6, num_shards=4)  # (64,64)
+    B = 4
+    ab = rng.integers(0, field.p, (B, cfg.n))
+    mono = build_distributed_plan(cfg, mesh, engine="xla", dp_axis="dp")
+    chk = build_distributed_plan(cfg, mesh, engine="xla", dp_axis="dp",
+                                 overlap_chunks=2)
+    want = np.asarray(mono.fwd(mono.shard_input(ab)))
+    spec = chk.fwd(chk.shard_input(ab))
+    assert np.array_equal(np.asarray(spec), want)
+    back = np.asarray(chk.inv(spec)).reshape(B, -1)
+    assert np.array_equal(back, ab)
+
+    # 3-axis: dp x (dcn x ici) with chunks
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh3 = Mesh(devs, ("dp", "dcn", "ici"))
+    h3 = build_distributed_plan(cfg, mesh3, engine="xla", dp_axis="dp",
+                                hier_axes=("dcn", "ici"), overlap_chunks=2)
+    assert np.array_equal(np.asarray(h3.fwd(h3.shard_input(ab))), want)
+
+    # Goldilocks batched chunked
+    GL = F.GOLDILOCKS
+    cfgg = NTTConfig(field=GL, log_n=10, rows_log2=5, num_shards=4,
+                     negacyclic=True)
+    vb = rng.integers(0, GL.p, (B, cfgg.n), dtype=np.uint64)
+    wb = rng.integers(0, GL.p, (B, cfgg.n), dtype=np.uint64)
+    gmono = build_gl_distributed_plan(cfgg, mesh, dp_axis="dp")
+    gchk = build_gl_distributed_plan(cfgg, mesh, dp_axis="dp",
+                                     overlap_chunks=2)
+
+    def _u64(pair):
+        h, l = (np.asarray(x) for x in pair)
+        return (h.astype(np.uint64) << np.uint64(32)) | l.astype(np.uint64)
+
+    gw = _u64(gmono.fwd(gmono.shard_input(vb)))
+    gs = gchk.fwd(gchk.shard_input(vb))
+    assert np.array_equal(_u64(gs), gw)
+    assert np.array_equal(_u64(gchk.inv(gs)).reshape(B, -1), vb)
+    assert np.array_equal(
+        _u64(gchk.negacyclic_polymul(gchk.shard_input(vb),
+                                     gchk.shard_input(wb))),
+        _u64(gmono.negacyclic_polymul(gmono.shard_input(vb),
+                                      gmono.shard_input(wb))))
