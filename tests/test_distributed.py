@@ -747,3 +747,36 @@ def test_dp_batched_overlap_chunks(rng):
                                      gchk.shard_input(wb))),
         _u64(gmono.negacyclic_polymul(gmono.shard_input(vb),
                                       gmono.shard_input(wb))))
+
+
+def test_compiled_collective_structure(rng):
+    """Compile-level regression: the lowered HLO carries exactly the
+    collectives the plan promises — 1 all_to_all per transform flat,
+    C with overlap_chunks=C, 2 per transform hierarchical (one per
+    network tier). Guards against a refactor silently collapsing or
+    duplicating the collective schedule."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from ntt_aie_tpu.parallel.mesh import make_mesh_hier
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=12, rows_log2=6, num_shards=8)
+
+    def a2a_count(plan):
+        x = jax.ShapeDtypeStruct((64, 64), jnp.uint32,
+                                 sharding=plan.in_sharding)
+        txt = plan.fwd.lower(x).compile().as_text()
+        return txt.count("all-to-all(") + txt.count("all-to-all-start(")
+
+    flat = build_distributed_plan(cfg, make_mesh(8), engine="xla")
+    assert a2a_count(flat) == 1
+    chunked = build_distributed_plan(cfg, make_mesh(8), engine="xla",
+                                     overlap_chunks=2)
+    assert a2a_count(chunked) == 2
+    hier = build_distributed_plan(cfg, make_mesh_hier(2, 4), engine="xla",
+                                  hier_axes=("dcn", "ici"))
+    assert a2a_count(hier) == 2
+    hier_c = build_distributed_plan(cfg, make_mesh_hier(2, 4), engine="xla",
+                                    hier_axes=("dcn", "ici"),
+                                    overlap_chunks=2)
+    assert a2a_count(hier_c) == 4
