@@ -32,6 +32,7 @@ from ntt_aie_tpu.fields import (
 from ntt_aie_tpu.config import NTTConfig
 from ntt_aie_tpu.api import NTTContext
 from ntt_aie_tpu.rns import RNSPolymul
+from ntt_aie_tpu.ops.crt import limbs_to_int, make_crt_combine
 
 __version__ = "0.1.0"
 
@@ -49,4 +50,6 @@ __all__ = [
     "NTTConfig",
     "NTTContext",
     "RNSPolymul",
+    "limbs_to_int",
+    "make_crt_combine",
 ]
