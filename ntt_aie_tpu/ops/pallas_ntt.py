@@ -25,7 +25,6 @@ four-step decomposition. Canonicalization fuses into the last pass.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import numpy as np
 import jax

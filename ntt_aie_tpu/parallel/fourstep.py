@@ -663,7 +663,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
     hier_axes decomposes the transpose per network tier exactly as in
     build_distributed_plan."""
     from ntt_aie_tpu.goldilocks_plan import (
-        _dev_limbs, _split_limbs, gl_dif_stages, gl_dit_stages,
+        _dev_limbs, gl_dif_stages, gl_dit_stages,
     )
     from ntt_aie_tpu.ops import modops as M
 

@@ -9,7 +9,6 @@ jax.sharding.Mesh over real devices; collectives replace the lock network
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

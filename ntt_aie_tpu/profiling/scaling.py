@@ -83,8 +83,6 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
         n1, n2 = cfg.split
         a = rng.integers(0, min(field.p, 1 << 32), (batch, n1, n2))
         if topology == "pairwise":
-            import jax.numpy as jnp
-
             pw_fwd, in_sh = build_pairwise_plan(cfg, mesh, engine=engine)
             xs = [jax.device_put(a[i].reshape(-1).astype(np.uint32), in_sh)
                   for i in range(batch)]

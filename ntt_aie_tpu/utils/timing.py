@@ -25,10 +25,8 @@ host-dispatch numbers for completeness, mirroring both reference metrics.
 from __future__ import annotations
 
 import time
-from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -1,6 +1,5 @@
 """Field/constants tests (L0 math core)."""
 
-import numpy as np
 import pytest
 
 from ntt_aie_tpu import fields as F
