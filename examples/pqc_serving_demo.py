@@ -15,6 +15,9 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+from ntt_aie_tpu.utils.platform import honor_platform_env
+honor_platform_env()  # make JAX_PLATFORMS effective despite sitecustomize
+
 import numpy as np
 
 from ntt_aie_tpu import dilithium as DL

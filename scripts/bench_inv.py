@@ -10,6 +10,9 @@ import sys
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from ntt_aie_tpu.utils.platform import honor_platform_env
+honor_platform_env()  # make JAX_PLATFORMS effective despite sitecustomize
+
 import numpy as np
 
 

@@ -6,6 +6,11 @@ real TPU: ``python scripts/regen_pqc_numbers.py``.
 """
 
 import numpy as np
+
+from ntt_aie_tpu.utils.platform import honor_platform_env
+
+honor_platform_env()  # make JAX_PLATFORMS effective despite sitecustomize
+
 import jax
 import jax.numpy as jnp
 
