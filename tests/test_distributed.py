@@ -780,3 +780,21 @@ def test_compiled_collective_structure(rng):
                                     hier_axes=("dcn", "ici"),
                                     overlap_chunks=2)
     assert a2a_count(hier_c) == 4
+
+
+def test_hierarchical_pallas_engine_interpret(rng):
+    """hier transpose composed with the Pallas local-pass engine
+    (interpret mode on CPU): same bits as the flat xla plan."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from ntt_aie_tpu.parallel.mesh import make_mesh_hier
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=11, rows_log2=4, num_shards=8)  # (16,128)
+    a = rng.integers(0, field.p, cfg.n)
+    flat = build_distributed_plan(cfg, make_mesh(8), engine="xla")
+    want = np.asarray(flat.fwd(flat.shard_input(a))).reshape(-1)
+    hier = build_distributed_plan(cfg, make_mesh_hier(2, 4), engine="pallas",
+                                  interpret=True, hier_axes=("dcn", "ici"))
+    got = np.asarray(hier.fwd(hier.shard_input(a))).reshape(-1)
+    assert np.array_equal(got, want)
