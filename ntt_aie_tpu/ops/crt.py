@@ -63,6 +63,11 @@ def limbs_to_int(limbs: np.ndarray, *, signed: bool = True) -> np.ndarray:
     (the encoding `make_crt_combine`'s centered lift produces)."""
     limbs = np.asarray(limbs, dtype=np.uint32)
     L = limbs.shape[-1]
+    if L == 0:
+        # Degenerate zero-length limb axis: the empty positional sum is 0
+        # (matches the pre-vectorization loop; make_crt_combine always
+        # produces nwords >= 1, so this is only reachable via direct use).
+        return np.zeros(limbs.shape[:-1], dtype=object)
     # pair uint32 limbs into uint64 words with vectorized machine math
     # first: halves the number of object-array passes (measured -25% on
     # the n=2^20 L=3 decode, the host-bound tail of RNSPolymul.polymul)

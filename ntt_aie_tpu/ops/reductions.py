@@ -228,10 +228,14 @@ def make_reduction(kind: str, field) -> Reduction:
             return jnp.asarray(a, jnp.uint32) + b
 
         def muld(x, y):
-            # canonical product: canonicalize lazy inputs first so the
-            # REDC bound x*y < p*2^32 holds (x, y < p after folding).
-            x = canon(x)
-            y = canon(y)
+            # canonical product of possibly-lazy ([0, 4p)) inputs. ONE
+            # conditional fold of ONE operand meets the REDC bound: after
+            # x -> [0, 2p), x*y < 2p*4p = 8p^2 < p*2^32 for p < 2^29
+            # (y stays in [0, 4p) untouched). Was 4 where/selects per
+            # element (both operands fully canonicalized); now 1 — the
+            # pointwise step sits on the polymul hot path at full n.
+            x = jnp.asarray(x, jnp.uint32)
+            x = jnp.where(x >= p2, x - p2, x)
             return M.mont_mul(M.mont_mul(x, y, p, neg_pinv), np.uint32(r2), p, neg_pinv)
 
         def add(a, b):

@@ -111,6 +111,15 @@ def test_limbs_to_int_sign_extension():
     assert list(outu) == [(1 << 64) - 1, 1]
 
 
+def test_limbs_to_int_empty_limb_axis():
+    # L=0 degenerate case: the empty positional sum is zero (object dtype),
+    # matching the pre-vectorization loop semantics.
+    arr = np.empty((3, 0), dtype=np.uint32)
+    out = limbs_to_int(arr, signed=True)
+    assert out.shape == (3,) and out.dtype == object
+    assert list(out) == [0, 0, 0]
+
+
 def test_rns_batched_polymul(rng):
     """(B, n) inputs route to the plans' batched kernel builders and the
     elementwise device combine broadcasts over the batch axis."""

@@ -166,3 +166,29 @@ def test_gl_mul_karatsuba_matches_schoolbook(rng):
     assert np.array_equal(np.asarray(kl), np.asarray(sl))
     want = (a.astype(object) * b.astype(object)) % GL_P
     assert np.array_equal(M.gl_to_u64(kh, kl).astype(object), want)
+
+
+def test_harvey4_mul_data_lazy_domain_bound(rng):
+    """harvey4 mul_data's single-operand one-fold REDC bound: canonical
+    products from any inputs in the full [0, 4p) travel domain, including
+    the extremes (VERDICT r2 weak #6 / next #8). Bound: x folded once to
+    [0, 2p), y untouched in [0, 4p) -> x*y < 8p^2 < p*2^32 for p < 2^29."""
+    from ntt_aie_tpu.ops.reductions import make_reduction
+
+    field = F.P_469762049
+    p = field.p
+    assert p < (1 << 29)
+    red = make_reduction("harvey4", field)
+    edges = np.array([0, 1, p - 1, p, p + 1, 2 * p - 1, 2 * p, 2 * p + 1,
+                      3 * p - 1, 3 * p, 4 * p - 1], dtype=np.uint64)
+    xs = np.concatenate([edges, rng.integers(0, 4 * p, 4096)]).astype(np.uint64)
+    ys = np.concatenate([np.flip(edges), rng.integers(0, 4 * p, 4096)]).astype(np.uint64)
+    # all-pairs over the edge block, elementwise over the random tail
+    ex, ey = np.meshgrid(edges, edges)
+    xs = np.concatenate([ex.ravel(), xs])
+    ys = np.concatenate([ey.ravel(), ys])
+    got = np.asarray(jax.jit(red.mul_data)(
+        jnp.asarray(xs, jnp.uint32), jnp.asarray(ys, jnp.uint32)))
+    want = (xs.astype(object) * ys.astype(object)) % p
+    assert np.array_equal(got.astype(object), want)
+    assert got.max() < p  # canonical output
