@@ -105,18 +105,27 @@ def main() -> int:
     vs_baseline = our_butterflies / REF_BUTTERFLIES_PER_SEC
 
     # ---- correctness gate (bit-exact vs golden oracle), after timing ----
-    flat = np.asarray(fwd(xs))[0]
+    # Every gated row is element-compared, like the reference's full-output
+    # check (src/test.cpp:221-247): row 0 plus 8 randomly drawn rows of the
+    # timed batch, against the native batch oracle (oracle.cc
+    # ntt_dif_u64_batch) in one C call.
+    gate_rows = np.concatenate(
+        [[0], rng.choice(np.arange(1, B), size=min(8, B - 1), replace=False)])
+    got = np.asarray(fwd(xs))[gate_rows]
+    brev = tw.bit_reverse_indices(n)
     try:
         from ntt_aie_tpu import native_oracle as native
 
-        want = np.asarray(
-            native.ntt_dif(a.astype(np.uint64), field.root_of_unity(n), field.p)
-        )[tw.bit_reverse_indices(n)]
+        want = native.ntt_dif_batch(
+            batch_in[gate_rows].astype(np.uint64),
+            field.root_of_unity(n), field.p)[:, brev]
     except Exception:
         from ntt_aie_tpu import reference as ref
 
-        want = ref.ntt_forward(a, field).astype(np.uint64)
-    if not np.array_equal(flat[plan.spectral_to_natural].astype(np.uint64), want):
+        want = np.stack([ref.ntt_forward(batch_in[r], field) for r in
+                         gate_rows]).astype(np.uint64)
+    if not np.array_equal(
+            got[:, plan.spectral_to_natural].astype(np.uint64), want):
         print(json.dumps({"metric": "NTTs/sec/chip at n=2^20 (32-bit prime)",
                           "value": 0.0, "unit": "NTT/s", "vs_baseline": 0.0,
                           "error": "verification FAILED"}))

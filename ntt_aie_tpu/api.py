@@ -41,11 +41,18 @@ class NTTContext:
         self.mesh = mesh
         self._plan_kwargs = plan_kwargs
         if mesh is None and plan_kwargs:
-            raise TypeError(
-                f"plan kwargs {sorted(plan_kwargs)} need mesh= (they "
-                "configure the distributed plan builder); for single-chip "
-                "options use ntt_aie_tpu.plan.build_plan directly"
-            )
+            # Single-chip contexts forward plan.build_plan's own knobs
+            # (one entry point, all knobs — the reference's single CLI
+            # surface, src/test.cpp:85-92); only genuinely distributed
+            # options still require mesh=.
+            single = {"engine", "interpret", "fused", "wmat_factored"}
+            bad = sorted(set(plan_kwargs) - single)
+            if bad:
+                raise TypeError(
+                    f"plan kwargs {bad} need mesh= (they configure the "
+                    "distributed plan builder); single-chip contexts "
+                    f"accept {sorted(single)}"
+                )
         if mesh is not None and (config.table_convention == "reference"
                                  or config.ordering == "reference"):
             raise NotImplementedError(
@@ -111,7 +118,7 @@ class NTTContext:
             return
         from ntt_aie_tpu.plan import build_plan
 
-        plan = build_plan(self.config)
+        plan = build_plan(self.config, **self._plan_kwargs)
         self._fwd, self._inv, self._polymul = plan.fwd, plan.inv, plan.polymul
         self._plan = plan
 

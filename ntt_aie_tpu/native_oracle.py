@@ -125,6 +125,15 @@ def ntt_dif(a, omega: int, p: int) -> np.ndarray:
     return a
 
 
+def ntt_dif_batch(a, omega: int, p: int) -> np.ndarray:
+    """Batched forward DIF over the rows of a (B, n) array (one C call)."""
+    lib = load()
+    a = np.ascontiguousarray(a, dtype=np.uint64).copy()
+    B, n = a.shape
+    lib.ntt_dif_u64_batch(a, B, n, omega, p)
+    return a
+
+
 def ntt_dit(a, omega: int, p: int, scale: bool = False) -> np.ndarray:
     lib = load()
     a = np.ascontiguousarray(a, dtype=np.uint64).copy()

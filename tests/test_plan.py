@@ -608,3 +608,27 @@ def test_negacyclic_psi_factors_match_matrix():
         r, c = tw.negacyclic_psi_factors(field, n1, n2, inverse=inverse)
         got = r[:, None].astype(object) * c[None, :] % field.p
         assert np.array_equal(got.astype(np.int64), np.asarray(full))
+
+
+def test_context_single_chip_plan_kwargs(rng):
+    """NTTContext without mesh= forwards build_plan's own knobs (engine,
+    interpret, fused, wmat_factored) — one entry point, all knobs, like the
+    reference's single CLI surface (src/test.cpp:85-92). Distributed-only
+    kwargs still raise without mesh=."""
+    field = F.P_2013265921
+    cfg = NTTConfig(field=field, log_n=10, rows_log2=5)
+    a = rng.integers(0, field.p, cfg.n)
+    aj = jnp.asarray(a, dtype=jnp.uint32)
+    want = np.asarray(NTTContext(cfg).forward(aj))
+
+    got = np.asarray(NTTContext(cfg, engine="xla").forward(aj))
+    assert np.array_equal(got, want)
+    # pallas engine in interpret mode works on the CPU backend
+    got = np.asarray(
+        NTTContext(cfg, engine="pallas", interpret=True).forward(aj))
+    assert np.array_equal(got, want)
+
+    with pytest.raises(TypeError, match="need mesh="):
+        NTTContext(cfg, overlap_chunks=2)
+    with pytest.raises(TypeError, match="need mesh="):
+        NTTContext(cfg, dp_axis="dp")
