@@ -275,7 +275,14 @@ def cmd_trace(args) -> int:
     plan = build_plan(cfg, engine=args.engine)
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.integers(0, min(field.p, 1 << 32), cfg.n), dtype=jnp.uint32)
-    d = capture_trace(plan.fwd, a, trace_dir=args.out)
+    op = getattr(args, "op", "fwd")
+    if op == "inv":
+        traced, x0 = plan.inv, plan.fwd(a)
+    elif op == "polymul":
+        traced, x0 = (lambda v: plan.polymul(v, v)), a
+    else:
+        traced, x0 = plan.fwd, a
+    d = capture_trace(traced, x0, trace_dir=args.out)
     print(f"trace written to {d}")
     rows = summarize_trace(d)
     method = "profiler"
@@ -297,6 +304,7 @@ def cmd_trace(args) -> int:
 
         payload = {
             "method": method,
+            "op": op,
             "field": field.name,
             "log_n": args.log_n,
             "engine": plan.engine,
@@ -397,6 +405,9 @@ def main(argv=None) -> int:
     pt.add_argument("--log-n", type=int, default=18)
     pt.add_argument("--engine", default="auto")
     pt.add_argument("--iters", type=int, default=20)
+    pt.add_argument("--op", default="fwd", choices=["fwd", "inv", "polymul"],
+                    help="which pipeline to trace (inv/polymul localize "
+                         "the DIT-pass cost)")
     pt.add_argument("--out", default=None)
     pt.add_argument("--summary-out", default=None,
                     help="write the per-op summary JSON here "
