@@ -197,7 +197,7 @@ class NTTContext:
         # dp_axis stays excluded: the context's ordering/conversion wrappers
         # below assume unbatched flat vectors (use the builder directly for
         # dp-batched GL work).
-        ok = {"overlap_chunks", "hier_axes"}
+        ok = {"overlap_chunks", "hier_axes", "engine", "interpret"}
         bad = sorted(set(self._plan_kwargs) - ok)
         if bad:
             raise TypeError(

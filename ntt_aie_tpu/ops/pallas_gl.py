@@ -35,7 +35,10 @@ def build_gl_colpass(
     n1: int,
     n2: int,
     direction: str,  # 'dif' | 'dit'
-    twiddle_pos: str = "none",  # 'none' | 'pre'
+    twiddle_pos: str = "none",  # 'none' | 'pre' | 'post'
+    twiddle_pos2: str = "none",  # optional SECOND matrix multiply (e.g. a
+    # 'pre' negacyclic psi alongside a 'post' four-step wmat) — mirrors
+    # ops/pallas_ntt.build_colpass's twiddle_pos2
     block_lanes: int | None = None,
     batch: int = 1,
     transpose_out: bool = False,
@@ -62,12 +65,21 @@ def build_gl_colpass(
     assert n2 % block_lanes == 0
     grid = n2 // block_lanes
 
+    n_wm1 = 2 if twiddle_pos != "none" else 0
+    n_wm2 = 2 if twiddle_pos2 != "none" else 0
+
     def kernel(*refs):
         xh_ref, xl_ref = refs[0], refs[1]
         tw_refs = refs[2 : 2 + 2 * logn]
         idx = 2 + 2 * logn
-        wmat_refs = refs[idx : idx + 2] if twiddle_pos != "none" else ()
+        wmat_refs = refs[idx : idx + n_wm1]
+        wmat2_refs = refs[idx + n_wm1 : idx + n_wm1 + n_wm2]
         oh_ref, ol_ref = refs[-2], refs[-1]
+
+        def _mul_mat(h, l, wrefs):
+            wh = wrefs[0][:].reshape(h.shape)
+            wl = wrefs[1][:].reshape(h.shape)
+            return gmul(h, l, wh, wl)
 
         h = xh_ref[:]
         l = xl_ref[:]
@@ -75,9 +87,9 @@ def build_gl_colpass(
             h = h.reshape(h.shape[-2], h.shape[-1])
             l = l.reshape(l.shape[-2], l.shape[-1])
         if twiddle_pos == "pre":
-            wh = wmat_refs[0][:].reshape(h.shape)
-            wl = wmat_refs[1][:].reshape(h.shape)
-            h, l = gmul(h, l, wh, wl)
+            h, l = _mul_mat(h, l, wmat_refs)
+        if twiddle_pos2 == "pre":
+            h, l = _mul_mat(h, l, wmat2_refs)
         c = h.shape[1]
 
         # Fused radix-2^K stage groups (same recursion as the 32-bit kernel,
@@ -144,6 +156,10 @@ def build_gl_colpass(
             h = jnp.concatenate([ph for ph, _ in parts], axis=1).reshape(n1, c)
             l = jnp.concatenate([pl_ for _, pl_ in parts], axis=1).reshape(n1, c)
             s += k
+        if twiddle_pos == "post":
+            h, l = _mul_mat(h, l, wmat_refs)
+        if twiddle_pos2 == "post":
+            h, l = _mul_mat(h, l, wmat2_refs)
         if transpose_out:
             h = h.T
             l = l.T
@@ -185,8 +201,7 @@ def build_gl_colpass(
         full_grid = (grid, batch)
 
     in_specs = [x_spec, x_spec] + tw_specs
-    if twiddle_pos != "none":
-        in_specs.extend([wmat_spec, wmat_spec])
+    in_specs.extend([wmat_spec, wmat_spec] * ((n_wm1 + n_wm2) // 2))
 
     return pl.pallas_call(
         kernel,
@@ -227,6 +242,8 @@ def make_gl_colpass(
     inverse_tw: bool = False,
     wmat: np.ndarray | None = None,
     twiddle_pos: str = "none",
+    wmat2: np.ndarray | None = None,
+    twiddle_pos2: str = "none",
     interpret: bool = False,
     block_lanes: int | None = None,
     batch: int = 1,
@@ -246,11 +263,15 @@ def make_gl_colpass(
         hi, lo = _split_limbs(v.reshape(-1, 1))
         tw_limbs.extend([hi, lo])
     wmat_limbs = _split_limbs(wmat) if wmat is not None else None
+    if wmat2 is not None:
+        w2 = _split_limbs(wmat2)
+        wmat_limbs = (tuple(wmat_limbs) if wmat_limbs else ()) + tuple(w2)
     fn = build_gl_colpass(
         n1=n1,
         n2=n2,
         direction=direction,
         twiddle_pos=twiddle_pos,
+        twiddle_pos2=twiddle_pos2 if wmat2 is not None else "none",
         interpret=interpret,
         block_lanes=block_lanes,
         batch=batch,

@@ -647,14 +647,22 @@ def pairwise_global_stage(x_local, stage_idx: int, D: int, axis: str,
 # ---------------------------------------------------------------------------
 
 def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
+                              engine: str = "auto",
+                              interpret: bool = False,
                               overlap_chunks: int = 1,
                               dp_axis: str | None = None,
                               hier_axes: tuple | None = None) -> DistributedPlan:
     """Distributed four-step NTT for p = 2^64 - 2^32 + 1: same structure as
     build_distributed_plan but every value travels as a (hi, lo) uint32 limb
     pair — two same-shaped arrays through the same shardings and the same
-    single all_to_all (issued per limb). Local passes are the XLA limb
-    stage loops (goldilocks_plan.gl_dif/dit_stages).
+    single all_to_all (issued per limb).
+
+    engine: 'auto' (pallas on TPU, xla elsewhere), 'pallas', 'xla'. The
+    pallas engine runs the local passes through the fused limb kernels
+    (ops/pallas_gl.build_gl_colpass — the single-chip GL plan's measured
+    +18%/+23% engine, DESIGN.md §5, carried into the distributed path);
+    'xla' keeps the goldilocks_plan.gl_dif/dit_stages loops. Outputs are
+    bit-identical across engines (regression-tested).
 
     With dp_axis set (2D mesh), inputs carry a leading batch dim:
     (B, n1, n2) limb pairs sharded P(dp, None, x) — the same DP x coeff
@@ -663,7 +671,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
     hier_axes decomposes the transpose per network tier exactly as in
     build_distributed_plan."""
     from ntt_aie_tpu.goldilocks_plan import (
-        _dev_limbs, gl_dif_stages, gl_dit_stages,
+        _dev_limbs, _split_limbs, gl_dif_stages, gl_dit_stages,
     )
     from ntt_aie_tpu.ops import modops as M
 
@@ -681,6 +689,8 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
         raise ValueError(
             f"n1={n1} must divide by D*overlap_chunks={D * C} for chunked overlap"
         )
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     tabs = tw.fourstep_tables(field, n1, n2)
     wmat, iwmat_scaled, pos = tabs["wmat"], tabs["iwmat_scaled"], tabs["pos"]
@@ -695,6 +705,79 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
     itw2 = _pack(n2, "dit", inverse=True)
     wmat_d = _dev_limbs(wmat)
     iwmat_d = _dev_limbs(iwmat_scaled)
+
+    # ---- local pass engines (uniform signatures, like the 32-bit plan) ----
+    #   p1(h, l, wh, wl, psi)  pass 1 on the local (n1, n2/D) block:
+    #                          [psi ⊙] -> DIF stages -> ⊙ wmat
+    #   p2(h, l)               pass 2 on a transposed (n2, w1) chunk
+    #   ip2(h, l)              inverse pass 2 on a spectral (n2, w1) chunk
+    #   ip1(h, l, wh, wl, psi) inverse pass 1: ⊙ iwmat -> DIT stages [-> psi ⊙]
+    if engine == "pallas":
+        from ntt_aie_tpu.ops import pallas_gl as PG
+
+        def _stage_limb_cols(nn, direction, inverse=False):
+            gen = (tw.dif_stage_twiddles if direction == "dif"
+                   else tw.dit_stage_twiddles)
+            cols = []
+            for v in gen(field, nn, inverse=inverse):
+                hi, lo = _split_limbs(v.reshape(-1, 1))
+                cols.extend([jnp.asarray(hi), jnp.asarray(lo)])
+            return cols
+
+        c1 = _stage_limb_cols(n1, "dif")
+        c2 = _stage_limb_cols(n2, "dif")
+        ic1 = _stage_limb_cols(n1, "dit", inverse=True)
+        ic2 = _stage_limb_cols(n2, "dit", inverse=True)
+        kwp = dict(interpret=interpret)
+        lcp1 = PG.build_gl_colpass(n1=n1, n2=n2 // D, direction="dif",
+                                   twiddle_pos="post", **kwp)
+        lcp2 = PG.build_gl_colpass(n1=n2, n2=w1, direction="dif", **kwp)
+        licp2 = PG.build_gl_colpass(n1=n2, n2=w1, direction="dit", **kwp)
+        licp1 = PG.build_gl_colpass(n1=n1, n2=n2 // D, direction="dit",
+                                    twiddle_pos="pre", **kwp)
+        if config.negacyclic:
+            lcp1n = PG.build_gl_colpass(n1=n1, n2=n2 // D, direction="dif",
+                                        twiddle_pos="post",
+                                        twiddle_pos2="pre", **kwp)
+            licp1n = PG.build_gl_colpass(n1=n1, n2=n2 // D, direction="dit",
+                                         twiddle_pos="pre",
+                                         twiddle_pos2="post", **kwp)
+
+        def p1(h, l, wh, wl, psi):
+            if psi:
+                return lcp1n(h, l, *c1, wh, wl, psi[0], psi[1])
+            return lcp1(h, l, *c1, wh, wl)
+
+        def p2(h, l):
+            return lcp2(h, l, *c2)
+
+        def ip2(h, l):
+            return licp2(h, l, *ic2)
+
+        def ip1(h, l, wh, wl, psi):
+            if psi:
+                return licp1n(h, l, *ic1, wh, wl, psi[0], psi[1])
+            return licp1(h, l, *ic1, wh, wl)
+    else:
+
+        def p1(h, l, wh, wl, psi):
+            if psi:
+                h, l = M.gl_mul(h, l, psi[0], psi[1])
+            h, l = gl_dif_stages(h, l, *tw1)
+            return M.gl_mul(h, l, wh, wl)
+
+        def p2(h, l):
+            return gl_dif_stages(h, l, *tw2)
+
+        def ip2(h, l):
+            return gl_dit_stages(h, l, *itw2)
+
+        def ip1(h, l, wh, wl, psi):
+            h, l = M.gl_mul(h, l, wh, wl)
+            h, l = gl_dit_stages(h, l, *itw1)
+            if psi:
+                h, l = M.gl_mul(h, l, psi[0], psi[1])
+            return h, l
 
     if dp_axis is None:
         colshard = P(None, ax)      # (rows, cols) with cols sharded
@@ -711,13 +794,10 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
 
     def fwd_body(h, l, wh, wl, *psi):
         # psi: optional negacyclic limb pair applied BEFORE pass 1
-        if psi:
-            h, l = M.gl_mul(h, l, psi[0], psi[1])
-        h, l = gl_dif_stages(h, l, *tw1)
-        h, l = M.gl_mul(h, l, wh, wl)
+        h, l = p1(h, l, wh, wl, psi)
         if C == 1:
             h, l = _a2a_fwd(h, l, w1)
-            return gl_dif_stages(h.T, l.T, *tw2)
+            return p2(h.T, l.T)
         # Chunked overlap over the target n1 rows — the same regrouping as
         # the 32-bit plan, applied to both limb planes.
         hg = h.reshape(D, C, w1, n2 // D)
@@ -726,7 +806,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
         for c in range(C):
             tch, tcl = _a2a_fwd(hg[:, c].reshape(D * w1, n2 // D),
                                 lg[:, c].reshape(D * w1, n2 // D), w1)
-            rh, rl = gl_dif_stages(tch.T, tcl.T, *tw2)   # (n2, w1)
+            rh, rl = p2(tch.T, tcl.T)                    # (n2, w1)
             oh.append(rh)
             ol.append(rl)
         return jnp.concatenate(oh, axis=1), jnp.concatenate(ol, axis=1)
@@ -734,14 +814,14 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
     def inv_body(h, l, wh, wl, *psi):
         # psi: optional negacyclic psi^-1 limb pair applied AFTER pass 1
         if C == 1:
-            h, l = gl_dit_stages(h, l, *itw2)
+            h, l = ip2(h, l)
             h, l = _a2a_inv(h.T, l.T, w1)
         else:
             rh, rl = [], []
             for c in range(C):
                 hc = jax.lax.slice_in_dim(h, c * w1, (c + 1) * w1, axis=1)
                 lc = jax.lax.slice_in_dim(l, c * w1, (c + 1) * w1, axis=1)
-                yh, yl = gl_dit_stages(hc, lc, *itw2)    # (n2, w1)
+                yh, yl = ip2(hc, lc)                     # (n2, w1)
                 tch, tcl = _a2a_inv(yh.T, yl.T, w1)      # (D*w1, n2/D)
                 rh.append(tch)
                 rl.append(tcl)
@@ -749,11 +829,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
                    .transpose(1, 0, 2, 3).reshape(n1, n2 // D)
             l = jnp.stack(rl, 0).reshape(C, D, w1, n2 // D) \
                    .transpose(1, 0, 2, 3).reshape(n1, n2 // D)
-        h, l = M.gl_mul(h, l, wh, wl)
-        h, l = gl_dit_stages(h, l, *itw1)
-        if psi:
-            h, l = M.gl_mul(h, l, psi[0], psi[1])
-        return h, l
+        return ip1(h, l, wh, wl, psi)
 
     if dp_axis is not None:
         # Batched bodies: vmap the local limb passes over the per-device
@@ -761,15 +837,12 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
         # composition as the 32-bit plan's batched bodies, incl. the
         # per-chunk collective split when C > 1).
         def fwd_body_b(h, l, wh, wl, *psi):
-            if psi:
-                h, l = M.gl_mul(h, l, psi[0], psi[1])  # broadcasts over B
-            h, l = jax.vmap(lambda hb, lb: gl_dif_stages(hb, lb, *tw1))(h, l)
-            h, l = M.gl_mul(h, l, wh, wl)
+            h, l = jax.vmap(lambda hb, lb: p1(hb, lb, wh, wl, psi))(h, l)
             if C == 1:
                 h, l = _a2a_fwd(h, l, w1, 1, 2)
                 h = jnp.transpose(h, (0, 2, 1))
                 l = jnp.transpose(l, (0, 2, 1))
-                return jax.vmap(lambda hb, lb: gl_dif_stages(hb, lb, *tw2))(h, l)
+                return jax.vmap(p2)(h, l)
             bl = h.shape[0]
             hg = h.reshape(bl, D, C, w1, n2 // D)
             lg = l.reshape(bl, D, C, w1, n2 // D)
@@ -778,7 +851,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
                 tch, tcl = _a2a_fwd(hg[:, :, c].reshape(bl, D * w1, n2 // D),
                                     lg[:, :, c].reshape(bl, D * w1, n2 // D),
                                     w1, 1, 2)
-                rh, rl = jax.vmap(lambda hb, lb: gl_dif_stages(hb, lb, *tw2))(
+                rh, rl = jax.vmap(p2)(
                     jnp.transpose(tch, (0, 2, 1)), jnp.transpose(tcl, (0, 2, 1)))
                 oh.append(rh)
                 ol.append(rl)
@@ -786,7 +859,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
 
         def inv_body_b(h, l, wh, wl, *psi):
             if C == 1:
-                h, l = jax.vmap(lambda hb, lb: gl_dit_stages(hb, lb, *itw2))(h, l)
+                h, l = jax.vmap(ip2)(h, l)
                 h = jnp.transpose(h, (0, 2, 1))
                 l = jnp.transpose(l, (0, 2, 1))
                 h, l = _a2a_inv(h, l, w1, 1, 2)
@@ -796,8 +869,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
                 for c in range(C):
                     hc = jax.lax.slice_in_dim(h, c * w1, (c + 1) * w1, axis=2)
                     lc = jax.lax.slice_in_dim(l, c * w1, (c + 1) * w1, axis=2)
-                    yh, yl = jax.vmap(
-                        lambda hb, lb: gl_dit_stages(hb, lb, *itw2))(hc, lc)
+                    yh, yl = jax.vmap(ip2)(hc, lc)
                     tch, tcl = _a2a_inv(jnp.transpose(yh, (0, 2, 1)),
                                         jnp.transpose(yl, (0, 2, 1)), w1, 1, 2)
                     rh.append(tch)
@@ -809,11 +881,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
                     return z.reshape(bl, n1, n2 // D)
 
                 h, l = _regroup_b(rh), _regroup_b(rl)
-            h, l = M.gl_mul(h, l, wh, wl)
-            h, l = jax.vmap(lambda hb, lb: gl_dit_stages(hb, lb, *itw1))(h, l)
-            if psi:
-                h, l = M.gl_mul(h, l, psi[0], psi[1])
-            return h, l
+            return jax.vmap(lambda hb, lb: ip1(hb, lb, wh, wl, psi))(h, l)
 
         fwd_body, inv_body = fwd_body_b, inv_body_b
 
@@ -821,6 +889,9 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
         body, mesh=mesh,
         in_specs=(colshard, colshard) + (wspec,) * (2 + extra),
         out_specs=(colshard, colshard),
+        # pallas_call outputs carry no varying-mesh-axis metadata (see the
+        # 32-bit plan's smap); sharding is explicit here anyway
+        check_vma=(engine != "pallas"),
     )
     fwd_m = smap(fwd_body)
     inv_m = smap(inv_body)

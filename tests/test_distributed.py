@@ -798,3 +798,71 @@ def test_hierarchical_pallas_engine_interpret(rng):
                                   interpret=True, hier_axes=("dcn", "ici"))
     got = np.asarray(hier.fwd(hier.shard_input(a))).reshape(-1)
     assert np.array_equal(got, want)
+
+
+def test_goldilocks_distributed_pallas_engine(rng):
+    """GL distributed plan, engine='pallas' (fused limb kernels inside
+    shard_map, interpret mode): fwd/inv/negacyclic bit-identical to the
+    XLA engine, and composed with overlap_chunks + hier_axes. VERDICT r2
+    next #2 — SURVEY §7 hard part 1 at 64 bits, scaled out."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from ntt_aie_tpu.parallel.fourstep import build_gl_distributed_plan
+    from ntt_aie_tpu.parallel.mesh import make_mesh_hier
+
+    GL = F.GOLDILOCKS
+    cfg = NTTConfig(field=GL, log_n=12, rows_log2=6, num_shards=8,
+                    negacyclic=True)
+    a = rng.integers(0, GL.p, cfg.n, dtype=np.uint64)
+    b = rng.integers(0, GL.p, cfg.n, dtype=np.uint64)
+
+    def u64(pair):
+        h, lo = (np.asarray(x) for x in pair)
+        return (h.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+    ref_plan = build_gl_distributed_plan(cfg, make_mesh(8), engine="xla")
+    want_fwd = u64(ref_plan.fwd(ref_plan.shard_input(a)))
+    want_neg = u64(ref_plan.negacyclic_polymul(ref_plan.shard_input(a),
+                                               ref_plan.shard_input(b)))
+
+    pal = build_gl_distributed_plan(cfg, make_mesh(8), engine="pallas",
+                                    interpret=True)
+    out = pal.fwd(pal.shard_input(a))
+    assert np.array_equal(u64(out), want_fwd)
+    assert np.array_equal(u64(pal.inv(out)).reshape(-1), a)
+    assert np.array_equal(
+        u64(pal.negacyclic_polymul(pal.shard_input(a), pal.shard_input(b))),
+        want_neg)
+
+    hier = build_gl_distributed_plan(
+        cfg, make_mesh_hier(2, 4), engine="pallas", interpret=True,
+        hier_axes=("dcn", "ici"), overlap_chunks=2)
+    assert np.array_equal(u64(hier.fwd(hier.shard_input(a))), want_fwd)
+
+
+def test_goldilocks_distributed_pallas_dp_batch(rng):
+    """GL pallas engine under a dp x coeff 2D mesh (vmapped limb kernels):
+    bit-identical to the XLA engine per batch row."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from ntt_aie_tpu.parallel.fourstep import build_gl_distributed_plan
+    from ntt_aie_tpu.parallel.mesh import make_mesh_2d
+
+    GL = F.GOLDILOCKS
+    cfg = NTTConfig(field=GL, log_n=12, rows_log2=6, num_shards=4)
+    B = 4
+    ab = rng.integers(0, GL.p, (B, cfg.n), dtype=np.uint64)
+
+    def u64(pair):
+        h, lo = (np.asarray(x) for x in pair)
+        return (h.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+    mesh = make_mesh_2d(2, 4)
+    kw = dict(dp_axis="dp", overlap_chunks=2)
+    xla = build_gl_distributed_plan(cfg, mesh, engine="xla", **kw)
+    want = u64(xla.fwd(xla.shard_input(ab)))
+    pal = build_gl_distributed_plan(cfg, mesh, engine="pallas",
+                                    interpret=True, **kw)
+    out = pal.fwd(pal.shard_input(ab))
+    assert np.array_equal(u64(out), want)
+    assert np.array_equal(u64(pal.inv(out)).reshape(B, -1), ab)
