@@ -35,12 +35,17 @@ class RNSPolymul:
 
     def __init__(self, log_n: int, prime_fields: Sequence = DEFAULT_FIELDS,
                  *, negacyclic: bool = False, engine: str = "auto",
-                 mesh=None, overlap_chunks: int = 1):
+                 mesh=None, overlap_chunks: int = 1,
+                 dp_axis: str | None = None):
         """mesh: a jax.sharding.Mesh runs every residue field's polymul on
         the DISTRIBUTED four-step plan (coefficients sharded over the mesh
         axis 'x') — exact big-integer convolution at pod scale; the k
         residue products still dispatch concurrently. overlap_chunks is
-        forwarded to the distributed plans (chunked transpose overlap)."""
+        forwarded to the distributed plans (chunked transpose overlap).
+        dp_axis: name of a 2D mesh's data-parallel axis — batched (B, n)
+        inputs then shard transforms over dp_axis composed with
+        coefficient sharding within each transform (the production RNS
+        serving shape)."""
         import math
 
         from ntt_aie_tpu.plan import build_plan
@@ -68,6 +73,9 @@ class RNSPolymul:
                     )
         self.negacyclic = negacyclic
         self.mesh = mesh
+        self.dp_axis = dp_axis
+        if mesh is None and dp_axis is not None:
+            raise ValueError("dp_axis requires mesh= (a 2D dp x coeff mesh)")
         if mesh is None:
             self.plans = [
                 build_plan(
@@ -86,6 +94,7 @@ class RNSPolymul:
                     NTTConfig(field=f, log_n=log_n, negacyclic=negacyclic,
                               num_shards=D, rows_log2=rows_log2),
                     mesh, engine=engine, overlap_chunks=overlap_chunks,
+                    dp_axis=dp_axis,
                 )
                 for f in self.fields
             ]
@@ -150,11 +159,16 @@ class RNSPolymul:
         pending = []
         for plan, ra, rb in zip(self.plans, ra_all, rb_all):
             if self.mesh is not None:
-                if batch is not None:
+                if batch is not None and self.dp_axis is None:
                     raise ValueError(
-                        "batched RNS polymul is single-chip only; with "
-                        "mesh= pass one (n,) vector per call (or build "
-                        "the distributed plans with dp_axis yourself)")
+                        "batched RNS polymul over a mesh needs dp_axis= "
+                        "(a 2D dp x coeff mesh); with a 1D mesh pass one "
+                        "(n,) vector per call")
+                if batch is None and self.dp_axis is not None:
+                    raise ValueError(
+                        "dp_axis plans take batched (B, n) inputs with B "
+                        "divisible by the dp axis size; pass a batch or "
+                        "drop dp_axis for single-vector calls")
                 fn = plan.negacyclic_polymul if self.negacyclic else plan.polymul
                 pending.append(fn(plan.shard_input(ra), plan.shard_input(rb)))
             elif batch is not None:
@@ -182,9 +196,13 @@ class RNSPolymul:
         pending = self._residue_products(a, b)
         out = self._combine(*pending)  # elementwise: any residue shape
         if self.mesh is not None:
-            # distributed residue products are (n1, n2) matrices; flatten
-            # once on the combined output (one dispatch, not k)
-            out = out.reshape(-1, self.nwords)
+            # distributed residue products are (n1, n2) — or (B, n1, n2)
+            # dp-batched — matrices; flatten each transform once on the
+            # combined output (one dispatch, not k)
+            if out.ndim == 4:
+                out = out.reshape(out.shape[0], self.n, self.nwords)
+            else:
+                out = out.reshape(self.n, self.nwords)
         return out
 
     def polymul(self, a, b) -> np.ndarray:
@@ -197,7 +215,8 @@ class RNSPolymul:
             return limbs_to_int(np.asarray(self.polymul_limbs(a, b)))
         res = [np.asarray(r) for r in self._residue_products(a, b)]
         if self.mesh is not None:
-            res = [r.reshape(-1) for r in res]
+            res = [r.reshape(self.n) if r.ndim == 2
+                   else r.reshape(r.shape[0], self.n) for r in res]
         # CRT: c = sum_i r_i * e_i mod M (object math, exact)
         acc = np.zeros(res[0].shape, dtype=object)
         for r, e in zip(res, self._basis):

@@ -148,3 +148,43 @@ def test_rns_machine_int_inputs(rng):
     assert np.array_equal(got, want)
     with pytest.raises(TypeError, match="integer"):
         rns.polymul(np.ones(n), np.ones(n))
+
+
+def test_rns_distributed_dp_batched(rng):
+    """RNSPolymul(mesh=2D, dp_axis=...) with batched (B, n) inputs: each
+    residue field runs the dp-batched distributed plan (DP over transforms
+    composed with coefficient sharding); exact vs the single-chip batched
+    RNS. VERDICT r2 next #7 — the production RNS serving shape."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from ntt_aie_tpu.parallel.mesh import make_mesh_2d
+
+    mesh = make_mesh_2d(2, 4)
+    log_n, B = 10, 4
+    n = 1 << log_n
+    rns = RNSPolymul(log_n, mesh=mesh, engine="xla", dp_axis="dp",
+                     overlap_chunks=2)
+    bound = rns.max_input_bound()
+    a = np.array([[int(x) for x in rng.integers(-bound, bound, n)]
+                  for _ in range(B)], dtype=object)
+    b = np.array([[int(x) for x in rng.integers(-bound, bound, n)]
+                  for _ in range(B)], dtype=object)
+    got = rns.polymul(a, b)
+    single = RNSPolymul(log_n, engine="xla")
+    want = single.polymul(a, b)
+    assert got.shape == (B, n)
+    assert np.array_equal(got, want)
+
+    # limb-form output keeps the batch axis
+    limbs = np.asarray(rns.polymul_limbs(a, b))
+    assert limbs.shape == (B, n, rns.nwords)
+
+    # guard rails: unbatched input with dp_axis, batch without dp_axis
+    with pytest.raises(ValueError, match="dp_axis plans take batched"):
+        rns.polymul(a[0], b[0])
+    flat = RNSPolymul(log_n, mesh=make_mesh_2d(2, 4), engine="xla")
+    with pytest.raises(ValueError, match="needs dp_axis"):
+        flat.polymul(a, b)
