@@ -27,6 +27,16 @@ _TEXT = "#0b0b0b"
 _TEXT2 = "#52514e"
 _GRID = "#e4e3df"
 
+# The reference's published cross-accelerator kernel times (µs per
+# forward transform): 16-tile AIE (reference profile/kerneltime/aie.csv,
+# marker-pair device timing at 1.25 GHz) and NVIDIA A100 (reference
+# profile/kerneltime/gpu.csv, an external GPU implementation). Rendered
+# as comparison series so the TPU sweep plots carry the same
+# cross-accelerator panel as the reference's plot_efficiency.py:27,61.
+_REF_AIE_US = {9: 8.86256, 10: 10.67568, 11: 14.3748, 12: 22.06464}
+_REF_GPU_US = {8: 12.004, 9: 13.497, 10: 16.365, 11: 21.510, 12: 19.276,
+               13: 21.179, 14: 24.203, 15: 31.337, 16: 45.942, 17: 81.350}
+
 
 def _load(summary_csv: str) -> list[dict]:
     def _opt(row, key):
@@ -120,6 +130,41 @@ def render_all(summary_csv: str, out_dir: str) -> list[str]:
               net_key="net_us_per_ntt")
     _line_fig("ntts_per_sec", "transforms / s",
               f"Forward NTT throughput — {field}", "throughput.png", logy=True)
+
+    # Cross-accelerator comparison (reference plot_efficiency.py parity):
+    # best-batch TPU throughput vs the reference's published AIE and A100
+    # kernel-time series, as size-normalized butterfly rate so different
+    # measured sizes are on one scale (n/2 * log2 n butterflies per NTT).
+    fig, ax = plt.subplots(figsize=(7, 4.5), dpi=150)
+
+    def _bfly_rate(log_n, us):
+        return ((1 << log_n) / 2) * log_n / us / 1e3  # G butterflies/s
+
+    best_rows = {}
+    for r in rows:
+        k = r["log_n"]
+        if k not in best_rows or r["us_per_ntt"] < best_rows[k]["us_per_ntt"]:
+            best_rows[k] = r
+    pts = [best_rows[k] for k in sorted(best_rows)]
+    ax.plot([r["log_n"] for r in pts],
+            [_bfly_rate(r["log_n"], r["us_per_ntt"]) for r in pts],
+            color=_SERIES[0], linewidth=2, marker="o", markersize=5,
+            zorder=3, label="this work (TPU, best batch)")
+    for name, color, data in (("16-tile AIE (reference)", _SERIES[1],
+                               _REF_AIE_US),
+                              ("A100 (reference)", _SERIES[2], _REF_GPU_US)):
+        ks = sorted(data)
+        ax.plot(ks, [_bfly_rate(k, data[k]) for k in ks], color=color,
+                linewidth=1.6, marker="s", markersize=4, zorder=2,
+                linestyle="--", label=name)
+    ax.set_yscale("log")
+    _style(ax, "log2(n)", "G butterflies / s",
+           f"Cross-accelerator butterfly rate — {field}")
+    ax.legend(frameon=False, fontsize=8, labelcolor=_TEXT2)
+    path = os.path.join(out_dir, "comparison.png")
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    written.append(path)
 
     # Efficiency: best batch per size vs the HBM roofline, single series.
     fig, ax = plt.subplots(figsize=(7, 4.5), dpi=150)

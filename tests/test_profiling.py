@@ -59,7 +59,7 @@ def test_plots_render(tmp_path):
               out_dir=str(tmp_path), verbose=False)
     out = plots.render_all(str(tmp_path / "summary_p469762049.csv"), str(tmp_path / "plots"))
     assert [os.path.basename(p) for p in out] == [
-        "exectime.png", "throughput.png", "efficiency.png"
+        "exectime.png", "throughput.png", "comparison.png", "efficiency.png"
     ]
     for p in out:
         assert os.path.getsize(p) > 1000
