@@ -56,8 +56,18 @@ def apply_wfac_arrays(x, t1s, t2s, red: Reduction):
     return xr.reshape(rr, cc)
 
 
+def default_fuse(direction: str) -> int:
+    """Measured-optimal radix-2^K group size per butterfly direction
+    (v5e, B=64, n1=1024, harvey4 — DESIGN.md §3): K=3 for DIF (4+ spills
+    vregs in the whole-half-vectorized net), K=5 for the parts-form DIT
+    net, whose per-leaf ops keep register pressure flat so deeper fusion
+    keeps buying fewer group concats (f3 8086 -> f5 6554 us/pass; f7
+    edges 2% lower at much higher compile time — not worth it)."""
+    return 5 if direction == "dit" else 3
+
+
 def run_stages(x, tws: list, direction: str, red: Reduction, *,
-               fuse: int = 3):
+               fuse: int | None = None, dit_net: str = "parts"):
     """All butterfly stages over axis 0 of a (nn, c) value, fused in
     radix-2^K groups: K stages per single full-size concat/reshape round,
     with every sub feeding a constant-multiply skipping its conditional
@@ -65,12 +75,27 @@ def run_stages(x, tws: list, direction: str, red: Reduction, *,
     the sequential radix-2 loops by construction.
 
     tws: per-stage tuples of twiddle arrays (values, already read from
-    refs), DIF order = largest stride first. Group size 3 measured best on
-    v5e (8 leaf parts per concat; 4+ spills vregs — even one 4-group in a
-    4+3+3 schedule regressed 6% vs 3+3+3+1).
+    refs), DIF order = largest stride first. fuse=None resolves per
+    direction (default_fuse).
+
+    dit_net selects the DIT group network ('parts' default; canonical
+    outputs identical across all three, raw lazy-domain bits may differ
+    — regression-tested):
+    - 'parts': the structural mirror of net_dif — leaf parts, zero
+      internal concats, lazy v-subtrees. Measured (v5e, B=64, n1=1024,
+      harvey4, us/pass): plain 6554 vs tree 7910; +transpose 6386 vs
+      7693; +wmat+canon 6861 vs 9932 — closes the round-2 inverse
+      premium from ~1.5x to ~1.14x of forward.
+    - 'tree': the round-2 recursive build-up (two concats per internal
+      node).
+    - 'iter': level-by-level on the whole block array (one concat per
+      level, no lazy domains) — measured worse (9729 plain): the lazy
+      savings beat the concat reduction.
     """
     nn, c = x.shape
     logn = nn.bit_length() - 1
+    if fuse is None:
+        fuse = default_fuse(direction)
     ts = _stage_shapes(nn, direction)
     subm = red.sub_for_mul or red.sub
 
@@ -120,6 +145,56 @@ def run_stages(x, tws: list, direction: str, red: Reduction, *,
         wv_ = red.mul_const(v, *w)
         return [add_(u, wv_), sub_(u, wv_)]
 
+    def net_dit_parts(arr, vecs, tl, lazy=False):
+        # The exact structural mirror of net_dif: recurse on contiguous
+        # halves, return LEAF PARTS in output row order, and let the
+        # caller do the single per-group concat — zero internal concats
+        # (the tree net pays two per internal node). The parent's twiddle
+        # multiply is applied per part against the matching (tl,) slice
+        # of the level's twiddle vector; lazy v-subtrees keep the tree
+        # net's one-level domain trick (u from a corrected child, so
+        # u + w*v < 2*dom < 2^32 is legal Shoup input).
+        r = arr.shape[1]
+        if r == 1:
+            return [arr]
+        half = r // 2
+        add_ = (red.add_for_mul if lazy and red.add_for_mul else red.add)
+        sub_ = (red.sub_for_mul if lazy and red.sub_for_mul else red.sub)
+        u_parts = net_dit_parts(arr[:, :half], vecs[:-1], tl)
+        v_parts = net_dit_parts(arr[:, half:], vecs[:-1], tl, lazy=True)
+        ws = tuple(wv.reshape(half, tl) for wv in vecs[-1])
+        outs_add, outs_sub = [], []
+        for i, (u, v) in enumerate(zip(u_parts, v_parts)):
+            wi = tuple(wv[i].reshape(1, 1, tl, 1) for wv in ws)
+            wv_ = red.mul_const(v, *wi)
+            outs_add.append(add_(u, wv_))
+            outs_sub.append(sub_(u, wv_))
+        return outs_add + outs_sub
+
+    def net_dit_iter(arr, vecs, tl):
+        # Iterative bottom-up DIT group. Level ell (smallest stride
+        # first) pairs radix-index j with j + 2^ell inside nested
+        # 2^(ell+1)-blocks, so u/v are CONTIGUOUS halves of a reshape
+        # view at every level — one two-part concat per level puts
+        # (u + w*v, u - w*v) back in place. Same mul/add/sub count as
+        # the tree net; k concats per group instead of the tree's
+        # 2(2^(k-1)-1) internal ones. Fully corrected domains (no lazy
+        # variants): a level's outputs feed BOTH the next level's u
+        # (needs the travel domain) and its mul input, so the one-level
+        # lazy trick of the tree net does not apply positionally.
+        blocks, radix = arr.shape[0], arr.shape[1]
+        x = arr
+        for ell, wv in enumerate(vecs):
+            half = 1 << ell
+            r2 = half * 2
+            x = x.reshape(blocks * radix // r2, r2, tl, c)
+            u = x[:, :half]
+            v = x[:, half:]
+            w = tuple(t.reshape(1, half, tl, 1) for t in wv)
+            wv_ = red.mul_const(v, *w)
+            x = jnp.concatenate([red.add(u, wv_), red.sub(u, wv_)], axis=1)
+        return [x.reshape(blocks, radix, tl, c)]
+
     s = 0
     while s < logn:
         k = min(fuse, logn - s)
@@ -127,9 +202,14 @@ def run_stages(x, tws: list, direction: str, red: Reduction, *,
         tl = ts[s + k - 1] if direction == "dif" else ts[s]
         blocks = nn // (radix * tl)
         vecs = tws[s : s + k]
-        net = net_dif if direction == "dif" else net_dit
+        if direction == "dif":
+            net = net_dif
+        else:
+            net = {"iter": net_dit_iter, "parts": net_dit_parts,
+                   "tree": net_dit}[dit_net]
         parts = net(x.reshape(blocks, radix, tl, c), vecs, tl)
-        x = jnp.concatenate(parts, axis=1).reshape(nn, c)
+        x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        x = x.reshape(nn, c)
         s += k
     return x
 
@@ -149,7 +229,8 @@ def build_colpass(
     batch: int = 1,
     transpose_out: bool = False,
     interpret: bool = False,
-    fuse: int = 3,
+    fuse: int | None = None,
+    dit_net: str = "parts",
     wfac_pos: str = "none",  # 'none' | 'pre' | 'post': FACTORED four-step
     # twiddle multiply (twiddles.fourstep_wfac_T): rows split c = c1*S + c0,
     # applied as TWO chained broadcast constant-multiplies against
@@ -240,7 +321,7 @@ def build_colpass(
 
         tws = [tuple(tw_refs[s * nt + k][:] for k in range(nt))
                for s in range(logn)]
-        x = run_stages(x, tws, direction, red, fuse=fuse)
+        x = run_stages(x, tws, direction, red, fuse=fuse, dit_net=dit_net)
         if twiddle_pos == "post":
             wm = tuple(r[:].reshape(x.shape) for r in wmat_refs)
             x = red.mulc_mat(x, *wm)
@@ -391,7 +472,8 @@ def make_colpass(
     block_lanes: int | None = None,
     batch: int = 1,
     transpose_out: bool = False,
-    fuse: int = 3,
+    fuse: int | None = None,
+    dit_net: str = "parts",
     wfac: tuple | None = None,
     wfac_pos: str = "none",
     rank1: tuple | None = None,
@@ -450,6 +532,7 @@ def make_colpass(
         batch=batch,
         transpose_out=transpose_out,
         fuse=fuse,
+        dit_net=dit_net,
         wfac_pos=wfac_pos if wfac is not None else "none",
         wfac_split=wfac_split,
         rank1_pos=rank1_pos if rank1 is not None else "none",

@@ -29,18 +29,22 @@ def main() -> int:
     x = jnp.asarray(
         rng.integers(0, field.p, (n1, n2 * B)).astype(np.uint32))
 
+    net = sys.argv[2] if len(sys.argv) > 2 else "parts"
     base_out = None
-    for fuse in (1, 2, 3, 4):
+    for fuse in (1, 2, 3, 4, 5, 6):
+        # canonicalize before comparing: raw lazy-domain bits legally
+        # differ across fuse levels/nets (only canonical outputs are
+        # contractual — see run_stages docstring)
         cp = PN.make_colpass(field, n1, n2 * B, reduction="harvey4",
                              direction="dit", inverse_tw=True, fuse=fuse,
-                             batch=1)
+                             batch=1, dit_net=net, canonicalize=True)
         out = np.asarray(cp(x))
         if base_out is None:
             base_out = out
         else:
             assert np.array_equal(out, base_out), f"fuse={fuse} mismatch"
         res = time_device(cp, x, iters=10, repeats=5)
-        print(f"fuse={fuse}: {res['us_per_iter']:.1f} us/pass "
+        print(f"net={net} fuse={fuse}: {res['us_per_iter']:.1f} us/pass "
               f"({res['us_per_iter']/B:.2f} us per 2^20-NTT share)")
     return 0
 

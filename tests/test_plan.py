@@ -632,3 +632,26 @@ def test_context_single_chip_plan_kwargs(rng):
         NTTContext(cfg, overlap_chunks=2)
     with pytest.raises(TypeError, match="need mesh="):
         NTTContext(cfg, dp_axis="dp")
+
+
+def test_dit_nets_match_across_fuse(rng):
+    """The three DIT group networks (parts default / tree / iter) and
+    several fuse levels produce identical CANONICAL outputs (raw
+    lazy-domain bits may differ legally) for every lazy reduction.
+    Guards the round-3 net swap (DESIGN.md §3 DIT ladder)."""
+    from ntt_aie_tpu.ops import pallas_ntt as PN
+
+    n1 = n2 = 64
+    for field, red in ((F.P_469762049, "harvey4"), (F.P_998244353, "harvey"),
+                       (F.P_2013265921, "montgomery")):
+        x = jnp.asarray(rng.integers(0, field.p, (n1, n2)).astype(np.uint32))
+        outs = []
+        for net, fuse in (("parts", None), ("parts", 3), ("parts", 6),
+                          ("tree", 3), ("iter", 3), ("tree", 1)):
+            cp = PN.make_colpass(field, n1, n2, reduction=red,
+                                 direction="dit", inverse_tw=True,
+                                 canonicalize=True, interpret=True,
+                                 dit_net=net, fuse=fuse)
+            outs.append(np.asarray(cp(x)))
+        for o in outs[1:]:
+            assert np.array_equal(o, outs[0]), (red,)
