@@ -44,6 +44,8 @@ def build_gl_colpass(
     transpose_out: bool = False,
     interpret: bool = False,
     fuse: int | None = None,
+    dit_net: str = "tree",  # 'tree' | 'parts' (leaf-part DIT, zero
+    # internal concats; measured per hardware — see the FUSE note below)
     mul_impl: str = "schoolbook",  # 'schoolbook' (gl_mul) | 'karatsuba'
 ):
     """pallas_call fn(xh, xl, *stage_tw_limbs, *[wmat limbs]) -> (yh, yl)
@@ -132,11 +134,32 @@ def build_gl_colpass(
             wvh, wvl = gmul(vh, vl, wh, wl)
             return [M.gl_add(uh, ul, wvh, wvl), M.gl_sub(uh, ul, wvh, wvl)]
 
+        def net_dit_parts(ah, al, vecs, tl):
+            # Leaf-part DIT (the 32-bit kernel's round-3 'parts' net at 64
+            # bits): zero internal concats, per-leaf twiddle slices. GL
+            # values stay canonical so there is no lazy-subtree variant.
+            r = ah.shape[1]
+            if r == 1:
+                return [(ah, al)]
+            half = r // 2
+            u_parts = net_dit_parts(ah[:, :half], al[:, :half], vecs[:-1], tl)
+            v_parts = net_dit_parts(ah[:, half:], al[:, half:], vecs[:-1], tl)
+            wh = vecs[-1][0].reshape(half, tl)
+            wl = vecs[-1][1].reshape(half, tl)
+            adds, subs = [], []
+            for i, ((uh, ul), (vh, vl)) in enumerate(zip(u_parts, v_parts)):
+                mh, ml = gmul(vh, vl, wh[i].reshape(1, 1, tl, 1),
+                              wl[i].reshape(1, 1, tl, 1))
+                adds.append(M.gl_add(uh, ul, mh, ml))
+                subs.append(M.gl_sub(uh, ul, mh, ml))
+            return adds + subs
+
         # Default radix-2: fusing deeper measured NO gain for Goldilocks on
         # v5e (gl_mul's ~70 lane-ops dwarf the per-stage concat, unlike the
         # 32-bit kernel where FUSE=3 bought ~5%), and the fused DIT is ~10x
         # slower under the Pallas interpreter. The recursion stays available
-        # via `fuse` and is covered by tests.
+        # via `fuse` (and dit_net='parts' for the leaf-part DIT) and is
+        # covered by tests.
         FUSE = fuse if fuse is not None else 1
         s = 0
         while s < logn:
@@ -151,7 +174,10 @@ def build_gl_colpass(
             blocks = n1 // (radix * tl)
             hr = h.reshape(blocks, radix, tl, c)
             lr = l.reshape(blocks, radix, tl, c)
-            net = net_dif if direction == "dif" else net_dit
+            if direction == "dif":
+                net = net_dif
+            else:
+                net = net_dit_parts if dit_net == "parts" else net_dit
             parts = net(hr, lr, vecs, tl)
             h = jnp.concatenate([ph for ph, _ in parts], axis=1).reshape(n1, c)
             l = jnp.concatenate([pl_ for _, pl_ in parts], axis=1).reshape(n1, c)
@@ -249,6 +275,7 @@ def make_gl_colpass(
     batch: int = 1,
     transpose_out: bool = False,
     fuse: int | None = None,
+    dit_net: str = "tree",
     mul_impl: str = "schoolbook",
 ) -> GLColpass:
     from ntt_aie_tpu import twiddles as tw
@@ -277,6 +304,7 @@ def make_gl_colpass(
         batch=batch,
         transpose_out=transpose_out,
         fuse=fuse,
+        dit_net=dit_net,
         mul_impl=mul_impl,
     )
     return GLColpass(fn, tw_limbs, wmat_limbs)
