@@ -44,8 +44,8 @@ def build_gl_colpass(
     transpose_out: bool = False,
     interpret: bool = False,
     fuse: int | None = None,
-    dit_net: str = "tree",  # 'tree' | 'parts' (leaf-part DIT, zero
-    # internal concats; measured per hardware — see the FUSE note below)
+    dit_net: str = "parts",  # 'parts' (leaf-part DIT, zero internal
+    # concats — default) | 'tree' (round-2 recursion); bit-identical
     mul_impl: str = "schoolbook",  # 'schoolbook' (gl_mul) | 'karatsuba'
 ):
     """pallas_call fn(xh, xl, *stage_tw_limbs, *[wmat limbs]) -> (yh, yl)
@@ -154,13 +154,22 @@ def build_gl_colpass(
                 subs.append(M.gl_sub(uh, ul, mh, ml))
             return adds + subs
 
-        # Default radix-2: fusing deeper measured NO gain for Goldilocks on
-        # v5e (gl_mul's ~70 lane-ops dwarf the per-stage concat, unlike the
-        # 32-bit kernel where FUSE=3 bought ~5%), and the fused DIT is ~10x
-        # slower under the Pallas interpreter. The recursion stays available
-        # via `fuse` (and dit_net='parts' for the leaf-part DIT) and is
-        # covered by tests.
-        FUSE = fuse if fuse is not None else 1
+        # Per-direction measured defaults (v5e, B=16, n1=1024, us/pass —
+        # scripts/scan_gl_nets.py, round 3): DIF f1 11205 / f3 10824
+        # (take 3); DIT tree was flat ~17.2-17.4ms at any fuse, but the
+        # parts net keeps improving with depth — f5 14145, f6 12899,
+        # f7 11963 (take 7; -31% vs round-2's tree f1 and within 11% of
+        # the DIF pass). Under the interpreter deep fuse is ~10x slower
+        # (per-leaf op explosion), so interpret keeps f1 — fuse is a
+        # pure perf knob, outputs are bit-identical (tested).
+        if fuse is not None:
+            FUSE = fuse
+        elif interpret:
+            FUSE = 1
+        elif direction == "dif":
+            FUSE = 3
+        else:
+            FUSE = 7 if dit_net == "parts" else 1
         s = 0
         while s < logn:
             k = min(FUSE, logn - s)
@@ -275,7 +284,7 @@ def make_gl_colpass(
     batch: int = 1,
     transpose_out: bool = False,
     fuse: int | None = None,
-    dit_net: str = "tree",
+    dit_net: str = "parts",
     mul_impl: str = "schoolbook",
 ) -> GLColpass:
     from ntt_aie_tpu import twiddles as tw

@@ -35,7 +35,7 @@ def main() -> int:
 
     variants = [("dif", "tree", f) for f in (1, 2, 3)]
     variants += [("dit", net, f) for net in ("tree", "parts")
-                 for f in (1, 2, 3, 5)]
+                 for f in (1, 2, 3, 5, 6, 7)]
     for direction, net, fuse in variants:
         name = f"{direction}_{net}_f{fuse}"
         if only and only not in name:
