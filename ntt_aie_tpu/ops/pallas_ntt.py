@@ -263,8 +263,12 @@ def build_colpass(
     if block_lanes is None:
         # Wider slabs amortize per-grid-step overhead (measured on v5e:
         # 512 lanes beats 128 by ~40% at n1=1024); the ~16 live slab-sized
-        # stage temporaries must still fit scoped VMEM (100 MB budget).
-        block_lanes = max(128, min(512, (1 << 19) // max(n1, 1)))
+        # stage temporaries must still fit scoped VMEM (100 MB budget):
+        # 1 MB slabs (2^20/n1 lanes, 16 MB live) capped at 512. Round 3
+        # raised the cap from 512 KB slabs for tall columns — at the
+        # n=2^24 4096-row shape, 256 lanes measured 3853 vs 5435 µs/NTT
+        # at 128 (B=16, −29%).
+        block_lanes = max(128, min(512, (1 << 20) // max(n1, 1)))
     block_lanes = min(block_lanes, n2)
     assert n2 % block_lanes == 0
     grid = n2 // block_lanes

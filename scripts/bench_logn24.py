@@ -1,0 +1,74 @@
+"""Single-chip n = 2^24 forward NTT on the real TPU (north-star size).
+
+The reference's largest measured size is 2^13 (SURVEY.md §6); this runs
+the four-step Pallas plan at 2^24 (4096 x 4096 split, factored twiddles
+so no 2 x 134 MB matrix build/upload) end to end on one chip, gated
+bit-exact against the native C++ oracle, and prints one JSON line.
+
+Run: python scripts/bench_logn24.py [B]
+"""
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ntt_aie_tpu.utils.platform import honor_platform_env
+honor_platform_env()
+
+import numpy as np
+
+
+def main() -> int:
+    import jax.numpy as jnp
+
+    from ntt_aie_tpu import NTTConfig, P_469762049 as field
+    from ntt_aie_tpu import twiddles as tw
+    from ntt_aie_tpu.plan import build_plan
+    from ntt_aie_tpu.utils.timing import time_device
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    log_n = 24
+    n = 1 << log_n
+    cfg = NTTConfig(field=field, log_n=log_n, rows_log2=12)
+    plan = build_plan(cfg, engine="pallas", wmat_factored=True)
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, field.p, n).astype(np.uint32)
+    if B == 1:
+        fwd = plan.fwd
+        xs = jnp.asarray(a)
+    else:
+        fwd = plan.make_batched(B)["fwd"]
+        batch = rng.integers(0, field.p, (B, n)).astype(np.uint32)
+        batch[0] = a
+        xs = jnp.asarray(batch)
+
+    res = time_device(fwd, xs, iters=4, repeats=4)
+    us_per_ntt = res["us_per_iter"] / B
+
+    # bit-exact gate vs the native C++ oracle (row 0)
+    out = np.asarray(fwd(xs))
+    flat = out.reshape(B, n)[0] if B > 1 else out.reshape(n)
+    from ntt_aie_tpu import native_oracle as native
+
+    want = np.asarray(native.ntt_dif(
+        a.astype(np.uint64), field.root_of_unity(n), field.p)
+    )[tw.bit_reverse_indices(n)]
+    ok = np.array_equal(
+        flat[plan.spectral_to_natural].astype(np.uint64), want)
+    gbf = (n // 2) * log_n / us_per_ntt / 1e3  # G butterflies/s
+    print(json.dumps({
+        "metric": "NTT/s at n=2^24 (single chip, factored twiddles)",
+        "B": B,
+        "us_per_ntt": round(us_per_ntt, 1),
+        "ntts_per_sec": round(1e6 / us_per_ntt, 2),
+        "g_butterflies_per_sec": round(gbf, 1),
+        "gate": "PASS" if ok else "FAIL",
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    main()
