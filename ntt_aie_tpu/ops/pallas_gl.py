@@ -62,7 +62,15 @@ def build_gl_colpass(
         # 379 vs 436 us/pass, B=64) — the two limb planes double live
         # temporaries but still fit scoped VMEM at this width; 128 lanes
         # is ~60% slower, 1024 untested territory left to callers.
-        block_lanes = max(128, min(512, (1 << 19) // max(n1, 1)))
+        # Round 3 moved tall columns to the same 1 MB-slab target as the
+        # 32-bit kernel: at n1=2048 (n=2^22 four-step) 512 lanes measured
+        # 13115 vs 13941 us/pass at 256 (B=4, −6%). Passes carrying a
+        # full wmat multiply keep the 512 KB target: their two extra
+        # n1-tall limb slabs put 512-lane slabs at n1=2048 5% over the
+        # 100 MB scoped-VMEM limit (measured compile OOM, 105.45 MB).
+        target = (1 << 19) if twiddle_pos != "none" or twiddle_pos2 != "none" \
+            else (1 << 20)
+        block_lanes = max(128, min(512, target // max(n1, 1)))
     block_lanes = min(block_lanes, n2)
     assert n2 % block_lanes == 0
     grid = n2 // block_lanes

@@ -148,7 +148,8 @@ def test_rns_batched_polymul(rng):
         rns._combine = combine
     assert np.array_equal(host, got)
 
-    # mesh + batch is an explicit error (single-chip only)
+    # mesh + batch without dp_axis is an explicit error (the dp-batched
+    # path needs a 2D dp x coeff mesh — see test_distributed's RNS dp test)
     import jax
     import pytest as _pytest
 
@@ -157,7 +158,7 @@ def test_rns_batched_polymul(rng):
 
         rm = RNSPolymul(10, mesh=make_mesh(8), engine="xla")
         ab = np.ones((2, 1 << 10), dtype=object)
-        with _pytest.raises(ValueError, match="single-chip"):
+        with _pytest.raises(ValueError, match="dp_axis"):
             rm.polymul(ab, ab)
 
 

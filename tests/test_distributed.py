@@ -444,9 +444,12 @@ def test_nttcontext_distributed(mesh8, rng):
     gn = np.asarray(ctx.negacyclic_polymul(a, b)).reshape(-1)
     assert np.array_equal(gn.astype(np.int64),
                           ref.schoolbook_negacyclic(a, b, field.p))
-    # kwargs without mesh are a loud error, not silently ignored
-    with pytest.raises(TypeError):
-        NTTContext(cfg, wmat_factored=True)
+    # distributed-only kwargs without mesh are a loud error, not silently
+    # ignored (single-chip knobs like wmat_factored/engine forward to
+    # build_plan since round 3 — see
+    # test_plan.py::test_context_single_chip_plan_kwargs)
+    with pytest.raises(TypeError, match="need mesh="):
+        NTTContext(cfg, overlap_chunks=2)
 
 
 def test_nttcontext_distributed_ordering(mesh8, rng):
