@@ -5,7 +5,10 @@ the four-step Pallas plan at 2^24 (4096 x 4096 split, factored twiddles
 so no 2 x 134 MB matrix build/upload) end to end on one chip, gated
 bit-exact against the native C++ oracle, and prints one JSON line.
 
-Run: python scripts/bench_logn24.py [B]
+Run: python scripts/bench_logn24.py [B] [fwd|inv]
+
+inv times the inverse pass on spectral inputs and gates on the device
+roundtrip inv(fwd(a)) == a (row 0).
 """
 import json
 import os
@@ -29,6 +32,8 @@ def main() -> int:
     from ntt_aie_tpu.utils.timing import time_device
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    op = sys.argv[2] if len(sys.argv) > 2 else "fwd"
+    assert op in ("fwd", "inv")
     log_n = 24
     n = 1 << log_n
     cfg = NTTConfig(field=field, log_n=log_n, rows_log2=12)
@@ -37,30 +42,40 @@ def main() -> int:
     rng = np.random.default_rng(0)
     a = rng.integers(0, field.p, n).astype(np.uint32)
     if B == 1:
-        fwd = plan.fwd
+        fwd, inv = plan.fwd, plan.inv
         xs = jnp.asarray(a)
     else:
-        fwd = plan.make_batched(B)["fwd"]
+        fns = plan.make_batched(B)
+        fwd, inv = fns["fwd"], fns["inv"]
         batch = rng.integers(0, field.p, (B, n)).astype(np.uint32)
         batch[0] = a
         xs = jnp.asarray(batch)
 
-    res = time_device(fwd, xs, iters=4, repeats=4)
+    spec = fwd(xs)
+    timed = inv if op == "inv" else fwd
+    res = time_device(timed, spec if op == "inv" else xs,
+                      iters=4, repeats=4)
     us_per_ntt = res["us_per_iter"] / B
 
-    # bit-exact gate vs the native C++ oracle (row 0)
-    out = np.asarray(fwd(xs))
-    flat = out.reshape(B, n)[0] if B > 1 else out.reshape(n)
-    from ntt_aie_tpu import native_oracle as native
+    if op == "inv":
+        # gate: device roundtrip is the identity (row 0)
+        back = np.asarray(inv(spec)).reshape(B, n) if B > 1 else \
+            np.asarray(inv(spec)).reshape(1, n)
+        ok = np.array_equal(back[0], a)
+    else:
+        # bit-exact gate vs the native C++ oracle (row 0)
+        out = np.asarray(spec)
+        flat = out.reshape(B, n)[0] if B > 1 else out.reshape(n)
+        from ntt_aie_tpu import native_oracle as native
 
-    want = np.asarray(native.ntt_dif(
-        a.astype(np.uint64), field.root_of_unity(n), field.p)
-    )[tw.bit_reverse_indices(n)]
-    ok = np.array_equal(
-        flat[plan.spectral_to_natural].astype(np.uint64), want)
+        want = np.asarray(native.ntt_dif(
+            a.astype(np.uint64), field.root_of_unity(n), field.p)
+        )[tw.bit_reverse_indices(n)]
+        ok = np.array_equal(
+            flat[plan.spectral_to_natural].astype(np.uint64), want)
     gbf = (n // 2) * log_n / us_per_ntt / 1e3  # G butterflies/s
     print(json.dumps({
-        "metric": "NTT/s at n=2^24 (single chip, factored twiddles)",
+        "metric": f"{op} NTT/s at n=2^24 (single chip, factored twiddles)",
         "B": B,
         "us_per_ntt": round(us_per_ntt, 1),
         "ntts_per_sec": round(1e6 / us_per_ntt, 2),
