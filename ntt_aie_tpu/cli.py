@@ -323,11 +323,16 @@ def cmd_scaling(args) -> int:
     from ntt_aie_tpu.profiling.scaling import run_scaling
 
     counts = [int(x) for x in args.devices.split(",")]
+    if args.full_wmat:
+        wfac = False
+    elif args.wmat_factored:
+        wfac = True
+    else:
+        wfac = None  # builder default (factored, since round 4)
     rows = run_scaling(_field(args.field), args.log_n, counts,
                        mode=args.mode, engine=args.engine, batch=args.batch,
                        iters=args.iters, overlap_chunks=args.overlap_chunks,
-                       topology=args.topology,
-                       wmat_factored=True if args.wmat_factored else None,
+                       topology=args.topology, wmat_factored=wfac,
                        hier_groups=args.hier_groups)
     print(json.dumps(rows))
     return 0
@@ -426,7 +431,12 @@ def main(argv=None) -> int:
                     help="chunk the four-step transpose collective to "
                          "overlap it with local compute")
     pc.add_argument("--wmat-factored", action="store_true",
-                    help="factored sqrt-size four-step twiddle tables")
+                    help="factored sqrt-size four-step twiddle tables "
+                         "(the distributed default; flag kept for "
+                         "explicitness)")
+    pc.add_argument("--full-wmat", action="store_true",
+                    help="force the full n1 x n2 twiddle matrices "
+                         "(A/B comparison against the factored default)")
     pc.add_argument("--topology", default="fourstep",
                     choices=["fourstep", "pairwise"],
                     help="'pairwise' times the reference's per-stage "

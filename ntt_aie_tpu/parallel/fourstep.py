@@ -117,6 +117,9 @@ class DistributedPlan:
     reduction: str
     # X^n + 1 product (config.negacyclic plans only; fused psi scaling)
     negacyclic_polymul: Optional[Callable] = None
+    # True when the four-step twiddle multiply runs from the factored
+    # sqrt-size tables (the distributed default since round 4).
+    wmat_factored: bool = False
 
     def shard_input(self, a_flat):
         """Place a flat (n,) host array into the plan's input layout:
@@ -158,8 +161,11 @@ def build_distributed_plan(
     Negacyclic psi matrices become rank-1 row/col vector operands on
     pass 1. Cuts per-shard twiddle traffic ~sqrt(n2)/2 x and the host
     table build/transfer likewise (64 MB -> ~6 MB at the n=2^24
-    north-star shape). Bit-identical outputs (tested); None = False
-    until the real-chip A/B lands.
+    north-star shape). Bit-identical outputs (tested); None = True —
+    the measured default since round 3 (28x faster plan setup, ~1/16
+    table footprint, throughput a wash on the real chip; DESIGN.md §3
+    "factored four-step twiddles"). Pass False for the full-matrix
+    mode (the A/B comparison path).
 
     Input is the row-major (n1, n2) coefficient matrix with columns sharded
     over the axis (use plan.shard_input for a flat host vector); output is
@@ -222,7 +228,10 @@ def build_distributed_plan(
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     # ---- host tables (same as single-chip plan) ----
-    wfac_on = bool(wmat_factored) if wmat_factored is not None else False
+    # Distributed default: factored. Full-table broadcast is exactly what
+    # does not scale (SURVEY.md §7 hard part 5); the real-chip A/B measured
+    # zero throughput cost and 28x faster setup (DESIGN.md §3).
+    wfac_on = bool(wmat_factored) if wmat_factored is not None else True
     if wfac_on:
         # Factored mode never touches the full n1 x n2 matrices: skip
         # their O(n) host build (and 2 x 134 MB footprint at n=2^24).
@@ -611,6 +620,7 @@ def build_distributed_plan(
         reduction=kind,
         negacyclic_polymul=(jax.jit(negacyclic_fn)
                             if negacyclic_fn is not None else None),
+        wmat_factored=wfac_on,
     )
 
 

@@ -98,8 +98,11 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
     n1 x n2 matrix — ~16x less twiddle HBM traffic at n=2^20). The
     inverse multiply then rides pass icp2 as 'post' (pre-transpose
     orientation, where rows are the linear exponent axis) instead of
-    icp1 'pre'. None = current measured default (False until the real-
-    chip A/B lands). Identical canonical outputs either way (tested).
+    icp1 'pre'. None = False: the single-chip real-chip A/B was a wash
+    (DESIGN.md §3) and full matrices cache on disk, so the single-chip
+    default stays full-matrix; the DISTRIBUTED builders default to
+    factored, where its wins are unambiguous. Identical canonical
+    outputs either way (tested).
     """
     field = config.field
     kind = resolve_kind(config.reduction, field)

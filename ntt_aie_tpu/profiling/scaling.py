@@ -130,7 +130,11 @@ def run_scaling(field, log_n: int, device_counts: Iterable[int] = (1, 2, 4, 8), 
             "mode": mode,
             "topology": topology,
             "overlap_chunks": overlap_chunks if topology == "fourstep" else None,
-            "wmat_factored": bool(wmat_factored) if topology == "fourstep" else None,
+            # report the EFFECTIVE mode (None resolves to the builder's
+            # factored default for distributed plans)
+            "wmat_factored": ((True if wmat_factored is None
+                               else bool(wmat_factored))
+                              if topology == "fourstep" else None),
             "hier": list(mesh.shape.values()) if hier_axes else None,
         }
         rows.append(row)

@@ -372,7 +372,12 @@ def test_distributed_wmat_factored_matches_full(mesh8, rng, engine):
     kwargs = dict(engine=engine)
     if engine == "pallas":
         kwargs["interpret"] = True
-    full = build_distributed_plan(cfg, mesh8, **kwargs)
+    # wmat_factored=False: the distributed default flipped to factored in
+    # round 4, so the full-matrix comparison side must ask for it.
+    full = build_distributed_plan(cfg, mesh8, wmat_factored=False, **kwargs)
+    assert not full.wmat_factored
+    # the default (None) resolves to factored for distributed plans
+    assert build_distributed_plan(cfg, mesh8, **kwargs).wmat_factored
     want = np.asarray(full.fwd(full.shard_input(a)))
     for C in (1, 2):
         fac = build_distributed_plan(cfg, mesh8, wmat_factored=True,
