@@ -236,6 +236,14 @@ def cmd_bench(args) -> int:
         fn = batched[args.op]
         transforms_per_call = args.batch
     res = time_device(fn, a, iters=args.iters, repeats=args.repeats)
+
+    # ---- correctness gate, AFTER timing (the reference driver's
+    # benchmark-then-verify structure, src/test.cpp:157-247): the TIMED
+    # callable's output is element-compared against the golden oracle on
+    # sampled batch rows. A kernel regression that breaks correctness
+    # while improving time cannot survive a bench session.
+    gate_ok = _gate_bench_output(plan, cfg, args.op, fn, a, vals, rng)
+
     measured = None
     if args.calibrate:
         measured = roofline.measure_peak()["measured_hbm_gbps"]
@@ -244,10 +252,80 @@ def cmd_bench(args) -> int:
         itemsize=8 if big else 4, measured_peak_gbps=measured)
     rep.update(engine=plan.engine, reduction=plan.reduction,
                batch=args.batch, op=args.op,
-               wmat_factored=plan.wmat_factored)
+               wmat_factored=plan.wmat_factored,
+               verified=gate_ok)
     del rep["hbm_bytes"]
     print(json.dumps(rep))
+    if not gate_ok:
+        print("FAIL: benchmarked output does not match the oracle",
+              file=sys.stderr)
+        return 1
     return 0
+
+
+def _gate_bench_output(plan, cfg, op: str, fn, a, vals, rng) -> bool:
+    """Oracle gate for cmd_bench's timed callable: re-run it once and
+    element-compare sampled rows against the native C++ oracle (NumPy
+    reference fallback). Handles all three ops and both value widths:
+
+      fwd     — spectral output mapped to natural vs a forward NTT
+      inv     — the random input rows are *read as spectral data*; the
+                expected coefficients come from the oracle's inverse
+      polymul — fn squares its input; vs the cyclic-convolution oracle
+    """
+    from ntt_aie_tpu import twiddles as tw_mod
+    from ntt_aie_tpu.ops import modops as M
+
+    field = cfg.field
+    n, p = cfg.n, field.p
+    big = p >= (1 << 32)
+    B = vals.shape[0]
+    nrows = min(3, B)
+    rows = np.concatenate([[0], rng.choice(np.arange(1, B),
+                                           size=nrows - 1, replace=False)]) \
+        if B > 1 else np.array([0])
+
+    out = fn(a)
+    if big:
+        out = M.gl_to_u64(*out)
+    got = np.asarray(out)[rows].astype(np.uint64)
+
+    pos = plan.spectral_to_natural
+    brev = tw_mod.bit_reverse_indices(n)
+    omega = field.root_of_unity(n)
+    rv = vals[rows].astype(np.uint64)
+    try:
+        from ntt_aie_tpu import native_oracle as native
+
+        if op == "fwd":
+            want = native.ntt_dif_batch(rv, omega, p)[:, brev]
+            got = got[:, pos]
+        elif op == "inv":
+            # row read as plan-spectral s: natural spectral S = s[pos];
+            # DIT consumes DIF (bitrev) order, so feed S[brev]
+            oinv = field.inv(omega)
+            want = np.stack([native.ntt_dit(r[pos][brev], oinv, p, scale=True)
+                             for r in rv])
+        else:  # polymul (fn squares)
+            want = np.stack([native.cyclic_polymul(r, r, omega, p)
+                             for r in rv])
+    except Exception:  # native toolchain unavailable: NumPy oracle fallback
+        from ntt_aie_tpu import reference as ref
+
+        dt = object if big else np.int64
+        if op == "fwd":
+            want = np.stack([ref.ntt_forward(r.astype(dt), field)
+                             for r in rv]).astype(object)
+            got = got[:, pos]
+        elif op == "inv":
+            want = np.stack([ref.ntt_inverse(r[pos].astype(dt), field)
+                             for r in rv]).astype(object)
+        else:
+            want = np.stack([ref.cyclic_polymul(r.astype(dt), r.astype(dt),
+                                                field)
+                             for r in rv]).astype(object)
+        return bool(np.array_equal(got.astype(object), want))
+    return bool(np.array_equal(got, want.astype(np.uint64)))
 
 
 def cmd_sweep(args) -> int:

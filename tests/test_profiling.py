@@ -8,8 +8,10 @@ import os
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from ntt_aie_tpu import fields as F
+from ntt_aie_tpu.config import NTTConfig
 from ntt_aie_tpu.profiling import roofline
 
 
@@ -133,6 +135,33 @@ def test_cli_bench_json(capsys):
                  "--batch", "2", "--iters", "2", "--repeats", "3"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["n"] == 1024 and rep["transforms_per_sec"] > 0
+    assert rep["verified"] is True
+
+
+def test_cli_bench_gates_all_ops(capsys):
+    """`bench` oracle-checks the TIMED callable for every --op mode (the
+    reference driver's benchmark-then-verify structure) and the gate
+    actually bites: a corrupted output flips it."""
+    from ntt_aie_tpu.cli import main, _gate_bench_output
+    from ntt_aie_tpu.plan import build_plan
+
+    for op in ("inv", "polymul"):
+        assert main(["bench", "--field", "p469762049", "--log-n", "10",
+                     "--batch", "2", "--iters", "1", "--repeats", "1",
+                     "--op", op]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["verified"] is True, op
+
+    # negative path: a callable returning wrong values must fail the gate
+    cfg = NTTConfig(field=F.P_469762049, log_n=8)
+    plan = build_plan(cfg, engine="xla")
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, F.P_469762049.p, (2, cfg.n))
+    a = jnp.asarray(vals, dtype=jnp.uint32)
+    good = plan.make_batched(2)["fwd"]
+    assert _gate_bench_output(plan, cfg, "fwd", good, a, vals, rng)
+    bad = lambda x: good(x) ^ jnp.uint32(1)  # noqa: E731
+    assert not _gate_bench_output(plan, cfg, "fwd", bad, a, vals, rng)
 
 
 def test_cli_field_aliases():
