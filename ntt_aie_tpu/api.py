@@ -197,7 +197,8 @@ class NTTContext:
         # dp_axis stays excluded: the context's ordering/conversion wrappers
         # below assume unbatched flat vectors (use the builder directly for
         # dp-batched GL work).
-        ok = {"overlap_chunks", "hier_axes", "engine", "interpret"}
+        ok = {"overlap_chunks", "hier_axes", "engine", "interpret",
+              "wmat_factored"}
         bad = sorted(set(self._plan_kwargs) - ok)
         if bad:
             raise TypeError(

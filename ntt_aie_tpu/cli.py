@@ -244,12 +244,16 @@ def cmd_bench(args) -> int:
     # while improving time cannot survive a bench session.
     gate_ok = _gate_bench_output(plan, cfg, args.op, fn, a, vals, rng)
 
-    measured = None
+    measured = vpu_bfly = None
     if args.calibrate:
         measured = roofline.measure_peak()["measured_hbm_gbps"]
+        if plan.reduction in ("harvey", "harvey4"):
+            vpu_bfly = roofline.measure_vpu_peak(
+                reduction=plan.reduction)["butterflies_per_sec"]
     rep = roofline.efficiency_report(
         res["us_per_iter"] / transforms_per_call * 1e-6, cfg.n,
-        itemsize=8 if big else 4, measured_peak_gbps=measured)
+        itemsize=8 if big else 4, measured_peak_gbps=measured,
+        measured_vpu_bfly=vpu_bfly)
     rep.update(engine=plan.engine, reduction=plan.reduction,
                batch=args.batch, op=args.op,
                wmat_factored=plan.wmat_factored,
@@ -350,9 +354,17 @@ def cmd_trace(args) -> int:
 
     field = _field(args.field)
     cfg = NTTConfig(field=field, log_n=args.log_n)
-    plan = build_plan(cfg, engine=args.engine)
+    plan = build_plan(cfg, engine=args.engine,
+                      wmat_factored=True if args.wmat_factored else None)
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.integers(0, min(field.p, 1 << 32), cfg.n), dtype=jnp.uint32)
+    big = field.p >= (1 << 32)
+    vals = rng.integers(0, min(field.p, 1 << 32), cfg.n)
+    if big:
+        from ntt_aie_tpu.ops import modops as M
+
+        a = M.gl_from_u64(vals.astype(np.uint64))
+    else:
+        a = jnp.asarray(vals, dtype=jnp.uint32)
     op = getattr(args, "op", "fwd")
     if op == "inv":
         traced, x0 = plan.inv, plan.fwd(a)
@@ -470,8 +482,10 @@ def main(argv=None) -> int:
                     help="factored sqrt-size four-step twiddle tables "
                          "(pallas engine; A/B vs the full-matrix default)")
     pb.add_argument("--calibrate", action="store_true",
-                    help="measure this chip's streaming HBM peak and report "
-                         "efficiency against it (honest on shared chips)")
+                    help="measure this chip's streaming HBM peak AND (for "
+                         "Harvey reductions) its ideal-conditions VPU "
+                         "butterfly rate, and report efficiency against "
+                         "both (honest on shared/partitioned chips)")
     pb.set_defaults(fn=cmd_bench)
 
     ps = sub.add_parser("sweep")
@@ -495,6 +509,9 @@ def main(argv=None) -> int:
     pt.add_argument("--summary-out", default=None,
                     help="write the per-op summary JSON here "
                          "(e.g. profile/trace/trace_logn20.json)")
+    pt.add_argument("--wmat-factored", action="store_true",
+                    help="trace the factored-twiddle plan (avoids full "
+                         "n1 x n2 matrix uploads at large n)")
     pt.set_defaults(fn=cmd_trace)
 
     pc = sub.add_parser("scaling")

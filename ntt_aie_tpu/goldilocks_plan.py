@@ -32,10 +32,15 @@ from ntt_aie_tpu.ops import modops as M
 
 
 def _split_limbs(t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """object/int array of field elements -> (hi, lo) uint32 numpy arrays."""
-    flat = np.asarray(
-        [int(v) for v in np.asarray(t, dtype=object).ravel()], dtype=np.uint64
-    ).reshape(np.shape(t))
+    """uint64/object array of field elements -> (hi, lo) uint32 arrays.
+
+    Vectorized (round 4): every Goldilocks value fits uint64 exactly, and
+    NumPy converts object arrays of ints in [0, 2^64) to uint64 directly —
+    the old per-element Python loop was a measured plan-setup cost on top
+    of the table build at n >= 2^22."""
+    flat = np.asarray(t)
+    if flat.dtype != np.uint64:
+        flat = flat.astype(np.uint64)
     hi = (flat >> np.uint64(32)).astype(np.uint32)
     lo = (flat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     return np.ascontiguousarray(hi), np.ascontiguousarray(lo)
@@ -97,11 +102,80 @@ def _pack_dev(field, n, *, direction, inverse=False):
     return _dev_limbs(packed)
 
 
+def gl_col_transform(field, nn: int, *, direction: str,
+                     inverse: bool = False):
+    """Pure-jnp GL column transform over (h, l) limb pairs of shape
+    (nn, c) — compiled from the SAME twiddles.col_network schedule as the
+    32-bit engines and the Pallas GL kernels (nested full-occupancy
+    phases for nn >= 256 columns), so the spectral order cannot diverge
+    between value widths or engines. The stage loops are the radix-2
+    gl_dif/dit_stages bodies with explicit stride lists; the nested mid
+    step is a gl_mul by the flat wmid limb pair plus the (R, S)
+    sublane-block row transpose (DIT runs the exact mirror)."""
+    net = tw.col_network(field, nn, direction=direction, inverse=inverse)
+    phases = []
+    for ph in net["phases"]:
+        phases.append((list(ph["ts"]),
+                       [_dev_limbs(v.reshape(-1, 1)) for v in ph["vecs"]]))
+    wmid_hl = (_dev_limbs(net["mid"]["wmid"].reshape(-1, 1))
+               if net["mid"] is not None else None)
+    R, S = net["R"], net["S"]
+
+    def _stages(h, l, ts, vecs):
+        n_, c = h.shape
+        for t, (wh, wl) in zip(ts, vecs):
+            blocks = n_ // (2 * t)
+            hr = h.reshape(blocks, 2, t, c)
+            lr = l.reshape(blocks, 2, t, c)
+            uh, ul = hr[:, 0], lr[:, 0]
+            vh, vl = hr[:, 1], lr[:, 1]
+            w_h = wh.reshape(1, t, 1)
+            w_l = wl.reshape(1, t, 1)
+            if direction == "dif":
+                ah, al = M.gl_add(uh, ul, vh, vl)
+                dh, dl = M.gl_sub(uh, ul, vh, vl)
+                bh, bl = M.gl_mul(dh, dl, w_h, w_l)
+            else:
+                wvh, wvl = M.gl_mul(vh, vl, w_h, w_l)
+                ah, al = M.gl_add(uh, ul, wvh, wvl)
+                bh, bl = M.gl_sub(uh, ul, wvh, wvl)
+            h = jnp.stack([ah, bh], axis=1).reshape(n_, c)
+            l = jnp.stack([al, bl], axis=1).reshape(n_, c)
+        return h, l
+
+    def run(h, l):
+        c = h.shape[1]
+        h, l = _stages(h, l, *phases[0])
+        if wmid_hl is not None:
+            if direction == "dif":
+                h, l = M.gl_mul(h, l, wmid_hl[0], wmid_hl[1])
+                h = h.reshape(R, S, c).swapaxes(0, 1).reshape(nn, c)
+                l = l.reshape(R, S, c).swapaxes(0, 1).reshape(nn, c)
+            else:
+                h = h.reshape(S, R, c).swapaxes(0, 1).reshape(nn, c)
+                l = l.reshape(S, R, c).swapaxes(0, 1).reshape(nn, c)
+                h, l = M.gl_mul(h, l, wmid_hl[0], wmid_hl[1])
+            h, l = _stages(h, l, *phases[1])
+        return h, l
+
+    return run
+
+
 def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          wmat_factored: bool | None = None):
     """Goldilocks plan. Two engines for the four-step column passes:
     'pallas' (ops/pallas_gl.py fused limb kernels — the TPU hot path) and
-    'xla' (the gl_dif/dit_stages loops below; runs anywhere)."""
+    'xla' (the gl_dif/dit_stages loops below; runs anywhere).
+
+    wmat_factored=True (pallas engine, round 4) applies the four-step
+    twiddle multiply from factored sqrt-size limb tables
+    (twiddles.fourstep_wfac_T) instead of the full n1 x n2 limb-pair
+    matrices — GL is where full matrices hurt most (two limb planes per
+    operand; the object-array build measured 3.3 s at n=2^22 before the
+    round-4 vectorized builder). The inverse multiply rides icp2 'post'
+    like the 32-bit plan. None = False (full-matrix, the measured
+    single-chip default); outputs bit-identical either way (tested)."""
     from ntt_aie_tpu.plan import Plan  # avoid import cycle at module load
 
     if engine == "auto":
@@ -112,10 +186,22 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
     p = field.p
     n1, n2 = config.split
     make_batched_cores = None  # set by the pallas four-step branch
+    wfac_on = bool(wmat_factored) if wmat_factored is not None else False
+    wfac_on = wfac_on and engine == "pallas" and n2 > 1
 
     if n2 > 1:
-        tabs = tw.fourstep_tables(field, n1, n2)
-        wmat, iwmat_scaled, pos = tabs["wmat"], tabs["iwmat_scaled"], tabs["pos"]
+        if wfac_on:
+            tabs = tw.fourstep_tables_light(field, n1, n2)
+            pos = tabs["pos"]
+            _pw = tw.root_powers(field, n)  # one O(n) table for both
+            wf_f = tw.fourstep_wfac_T(field, n1, n2, _pows=_pw)
+            wf_i = tw.fourstep_wfac_T(field, n1, n2, inverse=True,
+                                      scale=tabs["n_inv"], _pows=_pw)
+            del _pw
+        else:
+            tabs = tw.fourstep_tables(field, n1, n2)
+            wmat, iwmat_scaled, pos = (tabs["wmat"], tabs["iwmat_scaled"],
+                                       tabs["pos"])
 
         if engine == "pallas":
             from ntt_aie_tpu.ops.pallas_gl import make_gl_colpass
@@ -123,18 +209,36 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
             # Same fused-pass structure as the 32-bit plan (plan.py): the
             # four-step twiddle rides the SECOND pass as a 'pre' multiply on
             # the transposed matrix; pass 1 fuses the transpose into its
-            # output write.
-            cp1 = make_gl_colpass(field, n1, n2, direction="dif",
-                                  transpose_out=True, interpret=interpret)
-            cp2 = make_gl_colpass(field, n2, n1, direction="dif",
-                                  wmat=np.ascontiguousarray(wmat.T),
-                                  twiddle_pos="pre", interpret=interpret)
-            icp2 = make_gl_colpass(field, n2, n1, direction="dit",
-                                   inverse_tw=True, transpose_out=True,
-                                   interpret=interpret)
-            icp1 = make_gl_colpass(field, n1, n2, direction="dit",
-                                   inverse_tw=True, wmat=iwmat_scaled,
-                                   twiddle_pos="pre", interpret=interpret)
+            # output write. Factored mode: cp2 applies the sqrt-size
+            # tables 'pre'; the inverse multiply moves to icp2 'post'
+            # (pre-transpose orientation, where rows are the linear
+            # exponent axis) and icp1 carries no table.
+            def _mk_passes_gl(B=1):
+                kwb = dict(batch=B, interpret=interpret)
+                cp1_ = make_gl_colpass(field, n1, n2, direction="dif",
+                                       transpose_out=True, **kwb)
+                if wfac_on:
+                    cp2_ = make_gl_colpass(field, n2, n1, direction="dif",
+                                           wfac=wf_f, wfac_pos="pre", **kwb)
+                    icp2_ = make_gl_colpass(field, n2, n1, direction="dit",
+                                            inverse_tw=True, wfac=wf_i,
+                                            wfac_pos="post",
+                                            transpose_out=True, **kwb)
+                    icp1_ = make_gl_colpass(field, n1, n2, direction="dit",
+                                            inverse_tw=True, **kwb)
+                else:
+                    cp2_ = make_gl_colpass(field, n2, n1, direction="dif",
+                                           wmat=np.ascontiguousarray(wmat.T),
+                                           twiddle_pos="pre", **kwb)
+                    icp2_ = make_gl_colpass(field, n2, n1, direction="dit",
+                                            inverse_tw=True,
+                                            transpose_out=True, **kwb)
+                    icp1_ = make_gl_colpass(field, n1, n2, direction="dit",
+                                            inverse_tw=True, wmat=iwmat_scaled,
+                                            twiddle_pos="pre", **kwb)
+                return cp1_, cp2_, icp2_, icp1_
+
+            cp1, cp2, icp2, icp1 = _mk_passes_gl()
 
             def fwd_core(h, l):
                 h, l = cp1(h.reshape(n1, n2), l.reshape(n1, n2))
@@ -149,20 +253,7 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
             def make_batched_cores(B):
                 """Dedicated batch-grid kernels (shared tables fetched once
                 per lane-slab, like the 32-bit plan's batched path)."""
-                cp1b = make_gl_colpass(field, n1, n2, direction="dif",
-                                       transpose_out=True, batch=B,
-                                       interpret=interpret)
-                cp2b = make_gl_colpass(field, n2, n1, direction="dif",
-                                       wmat=np.ascontiguousarray(wmat.T),
-                                       twiddle_pos="pre", batch=B,
-                                       interpret=interpret)
-                icp2b = make_gl_colpass(field, n2, n1, direction="dit",
-                                        inverse_tw=True, transpose_out=True,
-                                        batch=B, interpret=interpret)
-                icp1b = make_gl_colpass(field, n1, n2, direction="dit",
-                                        inverse_tw=True, wmat=iwmat_scaled,
-                                        twiddle_pos="pre", batch=B,
-                                        interpret=interpret)
+                cp1b, cp2b, icp2b, icp1b = _mk_passes_gl(B)
 
                 def fwd_b(h, l):
                     sh = (n1, n2) if B == 1 else (B, n1, n2)
@@ -179,29 +270,27 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
                 return fwd_b, inv_b
 
         else:
-            tw1 = _pack_dev(field, n1, direction="dif")
-            tw2 = _pack_dev(field, n2, direction="dif")
-            itw1 = _pack_dev(field, n1, direction="dit", inverse=True)
-            itw2 = _pack_dev(field, n2, direction="dit", inverse=True)
+            col1 = gl_col_transform(field, n1, direction="dif")
+            col2 = gl_col_transform(field, n2, direction="dif")
+            icol1 = gl_col_transform(field, n1, direction="dit",
+                                     inverse=True)
+            icol2 = gl_col_transform(field, n2, direction="dit",
+                                     inverse=True)
             wmat_dev = _dev_limbs(wmat)
             iwmat_dev = _dev_limbs(iwmat_scaled)
 
             def fwd_core(h, l):
-                h = h.reshape(n1, n2)
-                l = l.reshape(n1, n2)
-                h, l = gl_dif_stages(h, l, *tw1)
+                h, l = col1(h.reshape(n1, n2), l.reshape(n1, n2))
                 h, l = M.gl_mul(h, l, *wmat_dev)
                 h, l = h.T, l.T
-                h, l = gl_dif_stages(h, l, *tw2)
+                h, l = col2(h, l)
                 return h.reshape(n), l.reshape(n)
 
             def inv_core(h, l):
-                h = h.reshape(n2, n1)
-                l = l.reshape(n2, n1)
-                h, l = gl_dit_stages(h, l, *itw2)
+                h, l = icol2(h.reshape(n2, n1), l.reshape(n2, n1))
                 h, l = h.T, l.T
                 h, l = M.gl_mul(h, l, *iwmat_dev)
-                h, l = gl_dit_stages(h, l, *itw1)
+                h, l = icol1(h, l)
                 return h.reshape(n), l.reshape(n)
 
     else:  # flat path (small n)
@@ -354,5 +443,6 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
         spectral_to_natural=spectral_to_natural,
         engine=engine if n2 > 1 else "xla",  # flat path has no pallas kernels
         reduction="goldilocks",
+        wmat_factored=wfac_on,
         _batched_builder=batched_builder,
     )

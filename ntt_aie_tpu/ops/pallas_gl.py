@@ -47,16 +47,43 @@ def build_gl_colpass(
     dit_net: str = "parts",  # 'parts' (leaf-part DIT, zero internal
     # concats — default) | 'tree' (round-2 recursion); bit-identical
     mul_impl: str = "schoolbook",  # 'schoolbook' (gl_mul) | 'karatsuba'
+    wfac_pos: str = "none",  # 'none' | 'pre' | 'post': FACTORED four-step
+    # twiddle multiply on limb pairs (twiddles.fourstep_wfac_T rows split
+    # c = c1*S + c0): two chained gl_muls against (n1/S + S) x lanes limb
+    # tables instead of one n1 x lanes limb-pair matrix — the GL analog
+    # of ops/pallas_ntt's wfac_pos (round 4; GL is where full matrices
+    # hurt most: two limb planes per operand).
+    wfac_split: int = 0,  # S; required when wfac_pos != 'none'
+    rank1_pos: str = "none",  # 'none' | 'pre' | 'post': rank-1 multiply
+    # row_factor[r] * col_factor[c] limb pairs (negacyclic psi) — 1-D
+    # operands instead of an n1 x n2 limb-pair matrix.
+    phases_ts: tuple | None = None,  # nested column network
+    # (twiddles.col_network): per-phase explicit half-block-size lists;
+    # two phases add a mid step (DIF: wmid limb multiply then the
+    # (R, S) -> (S, R) row transpose; DIT: the mirror). None = one
+    # standard full-depth phase.
+    mid_rs: tuple = (0, 0),
 ):
-    """pallas_call fn(xh, xl, *stage_tw_limbs, *[wmat limbs]) -> (yh, yl)
-    over (n1, block_lanes) VMEM slabs, gridded over n2 // block_lanes
-    (x batch). Stage twiddles: per stage a (t,1) hi and lo array; wmat:
-    (n1, n2) hi and lo. mul_impl selects the limb product: 4-partial
-    schoolbook (gl_mul) or 3-partial Karatsuba (gl_mul_kara) — bit-exact
-    either way, measured per hardware (DESIGN.md §5)."""
-    logn = n1.bit_length() - 1
-    ts = _stage_shapes(n1, direction)
+    """pallas_call fn(xh, xl, *stage_tw_limbs, *[wmat limbs], *[wfac
+    limbs], *[rank1 limbs]) -> (yh, yl) over (n1, block_lanes) VMEM
+    slabs, gridded over n2 // block_lanes (x batch). Stage twiddles: per
+    stage a (t,1) hi and lo array; wmat: (n1, n2) hi and lo; wfac: T1
+    (n1/S, n2) + T2 (S, n2) hi/lo; rank1: (n1,1) + (1,n2) hi/lo.
+    mul_impl selects the limb product: 4-partial schoolbook (gl_mul) or
+    3-partial Karatsuba (gl_mul_kara) — bit-exact either way, measured
+    per hardware (DESIGN.md §5)."""
+    if phases_ts is None:
+        phases_ts = (_stage_shapes(n1, direction),)
+    ts = [t for ph in phases_ts for t in ph]
+    logn = len(ts)
+    assert logn == n1.bit_length() - 1
+    nested = len(phases_ts) == 2
+    R_mid, S_mid = mid_rs
     gmul = M.gl_mul if mul_impl == "schoolbook" else M.gl_mul_kara
+    S = wfac_split
+    if wfac_pos != "none" and not (0 < S < n1 and n1 % S == 0):
+        raise ValueError(
+            f"wfac_split {S} must be a proper divisor of rows n1={n1}")
     if block_lanes is None:
         # 512 lanes beats 256 by ~13% at n1=1024 on v5e (measured round 2:
         # 379 vs 436 us/pass, B=64) — the two limb planes double live
@@ -77,19 +104,46 @@ def build_gl_colpass(
 
     n_wm1 = 2 if twiddle_pos != "none" else 0
     n_wm2 = 2 if twiddle_pos2 != "none" else 0
+    n_wf = 4 if wfac_pos != "none" else 0
+    n_r1 = 4 if rank1_pos != "none" else 0
+    n_mid = 2 if nested else 0
 
     def kernel(*refs):
         xh_ref, xl_ref = refs[0], refs[1]
         tw_refs = refs[2 : 2 + 2 * logn]
-        idx = 2 + 2 * logn
+        mid_refs = refs[2 + 2 * logn : 2 + 2 * logn + n_mid]
+        idx = 2 + 2 * logn + n_mid
         wmat_refs = refs[idx : idx + n_wm1]
         wmat2_refs = refs[idx + n_wm1 : idx + n_wm1 + n_wm2]
+        wfac_refs = refs[idx + n_wm1 + n_wm2 : idx + n_wm1 + n_wm2 + n_wf]
+        r1_refs = refs[idx + n_wm1 + n_wm2 + n_wf :
+                       idx + n_wm1 + n_wm2 + n_wf + n_r1]
         oh_ref, ol_ref = refs[-2], refs[-1]
 
         def _mul_mat(h, l, wrefs):
             wh = wrefs[0][:].reshape(h.shape)
             wl = wrefs[1][:].reshape(h.shape)
             return gmul(h, l, wh, wl)
+
+        def _apply_wfac(h, l):
+            # rows are the linear exponent axis c = c1*S + c0: gl_mul by
+            # T1[c1] broadcast over c0, then T2[c0] broadcast over c1
+            rr, cc = h.shape
+            hr, lr = h.reshape(rr // S, S, cc), l.reshape(rr // S, S, cc)
+            hr, lr = gmul(hr, lr,
+                          wfac_refs[0][:].reshape(rr // S, 1, cc),
+                          wfac_refs[1][:].reshape(rr // S, 1, cc))
+            hr, lr = gmul(hr, lr,
+                          wfac_refs[2][:].reshape(1, S, cc),
+                          wfac_refs[3][:].reshape(1, S, cc))
+            return hr.reshape(rr, cc), lr.reshape(rr, cc)
+
+        def _apply_rank1(h, l):
+            rr, cc = h.shape
+            h, l = gmul(h, l, r1_refs[0][:].reshape(rr, 1),
+                        r1_refs[1][:].reshape(rr, 1))
+            return gmul(h, l, r1_refs[2][:].reshape(1, cc),
+                        r1_refs[3][:].reshape(1, cc))
 
         h = xh_ref[:]
         l = xl_ref[:]
@@ -100,6 +154,10 @@ def build_gl_colpass(
             h, l = _mul_mat(h, l, wmat_refs)
         if twiddle_pos2 == "pre":
             h, l = _mul_mat(h, l, wmat2_refs)
+        if wfac_pos == "pre":
+            h, l = _apply_wfac(h, l)
+        if rank1_pos == "pre":
+            h, l = _apply_rank1(h, l)
         c = h.shape[1]
 
         # Fused radix-2^K stage groups (same recursion as the 32-bit kernel,
@@ -178,31 +236,58 @@ def build_gl_colpass(
             FUSE = 3
         else:
             FUSE = 7 if dit_net == "parts" else 1
-        s = 0
-        while s < logn:
-            k = min(FUSE, logn - s)
-            radix = 1 << k
-            vecs = [(tw_refs[2 * (s + j)][:], tw_refs[2 * (s + j) + 1][:])
-                    for j in range(k)]
+
+        def run_phase(h, l, ph_ts, s0):
+            # fused radix-2^K groups over the stages of ONE phase (groups
+            # never straddle the nested mid step)
+            s = 0
+            kph = len(ph_ts)
+            while s < kph:
+                k = min(FUSE, kph - s)
+                radix = 1 << k
+                vecs = [(tw_refs[2 * (s0 + s + j)][:],
+                         tw_refs[2 * (s0 + s + j) + 1][:])
+                        for j in range(k)]
+                if direction == "dif":
+                    tl = ph_ts[s + k - 1]
+                else:
+                    tl = ph_ts[s]
+                blocks = n1 // (radix * tl)
+                hr = h.reshape(blocks, radix, tl, c)
+                lr = l.reshape(blocks, radix, tl, c)
+                if direction == "dif":
+                    net = net_dif
+                else:
+                    net = net_dit_parts if dit_net == "parts" else net_dit
+                parts = net(hr, lr, vecs, tl)
+                h = jnp.concatenate([p_ for p_, _ in parts],
+                                    axis=1).reshape(n1, c)
+                l = jnp.concatenate([p_ for _, p_ in parts],
+                                    axis=1).reshape(n1, c)
+                s += k
+            return h, l
+
+        h, l = run_phase(h, l, list(phases_ts[0]), 0)
+        if nested:
+            wmh = mid_refs[0][:].reshape(n1, 1)
+            wml = mid_refs[1][:].reshape(n1, 1)
             if direction == "dif":
-                tl = ts[s + k - 1]
+                h, l = gmul(h, l, wmh, wml)
+                h = h.reshape(R_mid, S_mid, c).swapaxes(0, 1).reshape(n1, c)
+                l = l.reshape(R_mid, S_mid, c).swapaxes(0, 1).reshape(n1, c)
             else:
-                tl = ts[s]
-            blocks = n1 // (radix * tl)
-            hr = h.reshape(blocks, radix, tl, c)
-            lr = l.reshape(blocks, radix, tl, c)
-            if direction == "dif":
-                net = net_dif
-            else:
-                net = net_dit_parts if dit_net == "parts" else net_dit
-            parts = net(hr, lr, vecs, tl)
-            h = jnp.concatenate([ph for ph, _ in parts], axis=1).reshape(n1, c)
-            l = jnp.concatenate([pl_ for _, pl_ in parts], axis=1).reshape(n1, c)
-            s += k
+                h = h.reshape(S_mid, R_mid, c).swapaxes(0, 1).reshape(n1, c)
+                l = l.reshape(S_mid, R_mid, c).swapaxes(0, 1).reshape(n1, c)
+                h, l = gmul(h, l, wmh, wml)
+            h, l = run_phase(h, l, list(phases_ts[1]), len(phases_ts[0]))
         if twiddle_pos == "post":
             h, l = _mul_mat(h, l, wmat_refs)
         if twiddle_pos2 == "post":
             h, l = _mul_mat(h, l, wmat2_refs)
+        if wfac_pos == "post":
+            h, l = _apply_wfac(h, l)
+        if rank1_pos == "post":
+            h, l = _apply_rank1(h, l)
         if transpose_out:
             h = h.T
             l = l.T
@@ -217,6 +302,18 @@ def build_gl_colpass(
             pl.BlockSpec((t, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
             for t in ts for _ in range(2)
         ]
+        tw_specs += [pl.BlockSpec((n1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)] * n_mid
+        wfac_specs = ([pl.BlockSpec((n1 // S, block_lanes), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)] * 2
+                      + [pl.BlockSpec((S, block_lanes), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM)] * 2
+                      ) if n_wf else []
+        rank1_specs = ([pl.BlockSpec((n1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)] * 2
+                       + [pl.BlockSpec((1, block_lanes), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM)] * 2
+                       ) if n_r1 else []
         if transpose_out:
             out_spec = pl.BlockSpec((block_lanes, n1), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -234,6 +331,19 @@ def build_gl_colpass(
             pl.BlockSpec((t, 1), lambda i, b: (0, 0), memory_space=pltpu.VMEM)
             for t in ts for _ in range(2)
         ]
+        tw_specs += [pl.BlockSpec((n1, 1), lambda i, b: (0, 0),
+                                  memory_space=pltpu.VMEM)] * n_mid
+        wfac_specs = ([pl.BlockSpec((n1 // S, block_lanes),
+                                    lambda i, b: (0, i),
+                                    memory_space=pltpu.VMEM)] * 2
+                      + [pl.BlockSpec((S, block_lanes), lambda i, b: (0, i),
+                                      memory_space=pltpu.VMEM)] * 2
+                      ) if n_wf else []
+        rank1_specs = ([pl.BlockSpec((n1, 1), lambda i, b: (0, 0),
+                                     memory_space=pltpu.VMEM)] * 2
+                       + [pl.BlockSpec((1, block_lanes), lambda i, b: (0, i),
+                                       memory_space=pltpu.VMEM)] * 2
+                       ) if n_r1 else []
         if transpose_out:
             out_spec = pl.BlockSpec((1, block_lanes, n1), lambda i, b: (b, i, 0),
                                     memory_space=pltpu.VMEM)
@@ -245,6 +355,8 @@ def build_gl_colpass(
 
     in_specs = [x_spec, x_spec] + tw_specs
     in_specs.extend([wmat_spec, wmat_spec] * ((n_wm1 + n_wm2) // 2))
+    in_specs.extend(wfac_specs)
+    in_specs.extend(rank1_specs)
 
     return pl.pallas_call(
         kernel,
@@ -262,17 +374,30 @@ def build_gl_colpass(
 class GLColpass:
     """Bundles the pallas_call with its prepared limb twiddle operands."""
 
-    def __init__(self, fn, tw_limbs: list, wmat_limbs: tuple | None):
+    def __init__(self, fn, tw_limbs: list, wmat_limbs: tuple | None,
+                 wfac_limbs: tuple | None = None,
+                 rank1_limbs: tuple | None = None):
         self.fn = fn
         self.tw = [jnp.asarray(t) for t in tw_limbs]
         self.wmat = (
             tuple(jnp.asarray(w) for w in wmat_limbs) if wmat_limbs else None
+        )
+        self.wfac = (
+            tuple(jnp.asarray(w) for w in wfac_limbs) if wfac_limbs else None
+        )
+        self.rank1 = (
+            tuple(jnp.asarray(w) for w in rank1_limbs) if rank1_limbs
+            else None
         )
 
     def __call__(self, h, l):
         args = [h, l] + self.tw
         if self.wmat is not None:
             args.extend(self.wmat)
+        if self.wfac is not None:
+            args.extend(self.wfac)
+        if self.rank1 is not None:
+            args.extend(self.rank1)
         return self.fn(*args)
 
 
@@ -294,22 +419,39 @@ def make_gl_colpass(
     fuse: int | None = None,
     dit_net: str = "parts",
     mul_impl: str = "schoolbook",
+    wfac: tuple | None = None,   # (T1, T2) from twiddles.fourstep_wfac_T
+    wfac_pos: str = "none",
+    rank1: tuple | None = None,  # (row, col) from negacyclic_psi_factors
+    rank1_pos: str = "none",
 ) -> GLColpass:
     from ntt_aie_tpu import twiddles as tw
     from ntt_aie_tpu.goldilocks_plan import _split_limbs
 
-    if direction == "dif":
-        vecs = tw.dif_stage_twiddles(field, n1, inverse=inverse_tw)
-    else:
-        vecs = tw.dit_stage_twiddles(field, n1, inverse=inverse_tw)
+    net = tw.col_network(field, n1, direction=direction, inverse=inverse_tw)
     tw_limbs: list[np.ndarray] = []
-    for v in vecs:
-        hi, lo = _split_limbs(v.reshape(-1, 1))
+    for ph in net["phases"]:
+        for v in ph["vecs"]:
+            hi, lo = _split_limbs(v.reshape(-1, 1))
+            tw_limbs.extend([hi, lo])
+    if net["mid"] is not None:
+        hi, lo = _split_limbs(net["mid"]["wmid"].reshape(-1, 1))
         tw_limbs.extend([hi, lo])
     wmat_limbs = _split_limbs(wmat) if wmat is not None else None
     if wmat2 is not None:
         w2 = _split_limbs(wmat2)
         wmat_limbs = (tuple(wmat_limbs) if wmat_limbs else ()) + tuple(w2)
+    wfac_limbs = None
+    wfac_split = 0
+    if wfac is not None:
+        t1, t2 = wfac
+        wfac_split = n1 // t1.shape[0]
+        wfac_limbs = _split_limbs(t1) + _split_limbs(t2)
+    rank1_limbs = None
+    if rank1 is not None:
+        rvec, cvec = rank1
+        rh, rl = _split_limbs(np.reshape(rvec, (n1, 1)))
+        ch, cl = _split_limbs(np.reshape(cvec, (1, n2)))
+        rank1_limbs = (rh, rl, ch, cl)
     fn = build_gl_colpass(
         n1=n1,
         n2=n2,
@@ -323,5 +465,10 @@ def make_gl_colpass(
         fuse=fuse,
         dit_net=dit_net,
         mul_impl=mul_impl,
+        wfac_pos=wfac_pos if wfac is not None else "none",
+        wfac_split=wfac_split,
+        rank1_pos=rank1_pos if rank1 is not None else "none",
+        phases_ts=tuple(tuple(ph["ts"]) for ph in net["phases"]),
+        mid_rs=(net["R"], net["S"]),
     )
-    return GLColpass(fn, tw_limbs, wmat_limbs)
+    return GLColpass(fn, tw_limbs, wmat_limbs, wfac_limbs, rank1_limbs)

@@ -67,8 +67,9 @@ def default_fuse(direction: str) -> int:
 
 
 def run_stages(x, tws: list, direction: str, red: Reduction, *,
-               fuse: int | None = None, dit_net: str = "parts"):
-    """All butterfly stages over axis 0 of a (nn, c) value, fused in
+               fuse: int | None = None, dit_net: str = "parts",
+               ts: list | None = None):
+    """len(tws) butterfly stages over axis 0 of a (nn, c) value, fused in
     radix-2^K groups: K stages per single full-size concat/reshape round,
     with every sub feeding a constant-multiply skipping its conditional
     correction (sub_for_mul: Shoup accepts any x < 2^32). Bit-exact with
@@ -76,7 +77,11 @@ def run_stages(x, tws: list, direction: str, red: Reduction, *,
 
     tws: per-stage tuples of twiddle arrays (values, already read from
     refs), DIF order = largest stride first. fuse=None resolves per
-    direction (default_fuse).
+    direction (default_fuse). ts: explicit per-stage half-block sizes —
+    used by the nested column phases (twiddles.col_network), whose
+    expanded strides don't follow the standard full-transform schedule;
+    None = the standard schedule for a len(tws)-stage transform over nn
+    rows.
 
     dit_net selects the DIT group network ('parts' default; canonical
     outputs identical across all three, raw lazy-domain bits may differ
@@ -93,10 +98,11 @@ def run_stages(x, tws: list, direction: str, red: Reduction, *,
       savings beat the concat reduction.
     """
     nn, c = x.shape
-    logn = nn.bit_length() - 1
+    logn = len(tws)
     if fuse is None:
         fuse = default_fuse(direction)
-    ts = _stage_shapes(nn, direction)
+    if ts is None:
+        ts = _stage_shapes(nn, direction)[:logn]
     subm = red.sub_for_mul or red.sub
 
     def net_dif(arr, vecs, tl):
@@ -214,6 +220,71 @@ def run_stages(x, tws: list, direction: str, red: Reduction, *,
     return x
 
 
+def run_col_network(x, tws, direction: str, red: Reduction, *,
+                    phases_ts, mid_vals, rs, fuse=None, dit_net="parts"):
+    """The column transform's stage section on an (nn, c) value: one or
+    two run_stages phases per twiddles.col_network, with the nested
+    mid step between them (DIF: wmid multiply then the (R, S) -> (S, R)
+    sublane-block row transpose; DIT: the exact mirror). Shared by the
+    Pallas kernels (refs already read) and the XLA engines, so the
+    spectral order cannot diverge.
+
+    tws: per-stage table tuples for ALL phases in order; mid_vals: the
+    wmid table tuple ((nn, 1) values) or None; rs: (R, S)."""
+    nn, c_ = x.shape
+    if mid_vals is None:
+        return run_stages(x, tws, direction, red, fuse=fuse,
+                          dit_net=dit_net, ts=list(phases_ts[0]))
+    R, S = rs
+    k0 = len(phases_ts[0])
+    x = run_stages(x, tws[:k0], direction, red, fuse=fuse,
+                   dit_net=dit_net, ts=list(phases_ts[0]))
+    wm = tuple(w.reshape(nn, 1) for w in mid_vals)
+    if direction == "dif":
+        x = red.mul_const(x, *wm)
+        x = x.reshape(R, S, c_).swapaxes(0, 1).reshape(nn, c_)
+    else:
+        x = x.reshape(S, R, c_).swapaxes(0, 1).reshape(nn, c_)
+        x = red.mul_const(x, *wm)
+    return run_stages(x, tws[k0:], direction, red, fuse=fuse,
+                      dit_net=dit_net, ts=list(phases_ts[1]))
+
+
+def make_col_transform(field, nn: int, *, direction: str,
+                       inverse: bool = False, red: Reduction,
+                       fuse: int | None = 1):
+    """Pure-jnp column transform over (nn, c) arrays — the XLA-engine
+    twin of the Pallas colpass's stage section, compiled from the SAME
+    twiddles.col_network schedule so the two engines cannot diverge on
+    the spectral order (CLAUDE.md invariant). Tables are closure
+    constants (jnp arrays). fuse=1 keeps CPU compiles cheap; the Pallas
+    kernel owns the measured deeper-fusion defaults."""
+    import jax.numpy as _jnp
+
+    from ntt_aie_tpu import twiddles as _tw
+
+    net = _tw.col_network(field, nn, direction=direction, inverse=inverse)
+    tws = []
+    phases_ts = []
+    for ph in net["phases"]:
+        tws.extend(
+            tuple(_jnp.asarray(np.ascontiguousarray(t.reshape(-1, 1)))
+                  for t in red.prepare_table(v))
+            for v in ph["vecs"])
+        phases_ts.append(tuple(ph["ts"]))
+    wmid_t = None
+    if net["mid"] is not None:
+        wmid_t = tuple(_jnp.asarray(np.ascontiguousarray(t.reshape(-1, 1)))
+                       for t in red.prepare_table(net["mid"]["wmid"]))
+
+    def run(x):
+        return run_col_network(x, tws, direction, red,
+                               phases_ts=phases_ts, mid_vals=wmid_t,
+                               rs=(net["R"], net["S"]), fuse=fuse)
+
+    return run
+
+
 def build_colpass(
     *,
     n1: int,
@@ -241,24 +312,39 @@ def build_colpass(
     # multiply row_factor[r] * col_factor[c] (e.g. the negacyclic psi
     # matrix, which is exactly rank-1) — two broadcast constant multiplies
     # against (n1 + n2)-entry vectors instead of an n1 x n2 matrix.
+    phases_ts: tuple | None = None,  # nested column network (round 4,
+    # twiddles.col_network): per-phase explicit half-block-size lists.
+    # None = one standard full-depth phase. With two phases the kernel
+    # runs a mid step between them: DIF = wmid multiply then the
+    # (R, S) -> (S, R) row transpose; DIT = the mirror (transpose back,
+    # then the inverse wmid). Every stage's minor dims stay
+    # (>= min(R, S), lanes) — the full-sublane-occupancy fix.
+    mid_rs: tuple = (0, 0),  # (R, S); required when len(phases_ts) == 2
 ):
-    """Returns a pallas_call fn(x, *stage_tw_cols, *[wmat tables]) -> y
-    running all butterfly stages (and optionally the four-step twiddle
-    multiply) on (n1, block_lanes) VMEM slabs, gridded over n2 // block_lanes.
+    """Returns a pallas_call fn(x, *stage_tw_cols, *[wmid tables],
+    *[wmat tables]) -> y running all butterfly stages (and optionally the
+    four-step twiddle multiply) on (n1, block_lanes) VMEM slabs, gridded
+    over n2 // block_lanes.
 
     x: (n1, n2) uint32 — or (batch, n1, n2) when batch > 1 (the batch rides
     an inner grid axis so shared tables are fetched once per lane-slab, not
     once per batch element). Each stage twiddle is red.n_tables arrays of
-    shape (t_s, 1); wmat is red.n_tables arrays of shape (n1, n2); factored
-    operands (wfac_pos) are red.n_tables arrays of (n1/S, n2) plus
-    red.n_tables of (S, n2).
+    shape (t_s, 1); the nested wmid (when phases_ts has two phases) is
+    red.n_tables arrays of shape (n1, 1); wmat is red.n_tables arrays of
+    shape (n1, n2); factored operands (wfac_pos) are red.n_tables arrays
+    of (n1/S, n2) plus red.n_tables of (S, n2).
 
     transpose_out=True writes each slab transposed to the mirrored block of
     a (n2, n1) output — the four-step transpose fused into the pass for
     free (no separate transpose kernel, no extra HBM round trip).
     """
-    logn = n1.bit_length() - 1
-    ts = _stage_shapes(n1, direction)
+    if phases_ts is None:
+        phases_ts = (_stage_shapes(n1, direction),)
+    ts = [t for ph in phases_ts for t in ph]
+    logn = len(ts)
+    assert logn == n1.bit_length() - 1
+    nested = len(phases_ts) == 2
+    R_mid, S_mid = mid_rs
     nt = red.n_tables
     if block_lanes is None:
         # Wider slabs amortize per-grid-step overhead (measured on v5e:
@@ -285,10 +371,13 @@ def build_colpass(
     n_wf = 2 * nt if wfac_pos != "none" else 0
     n_r1 = 2 * nt if rank1_pos != "none" else 0
 
+    n_mid = nt if nested else 0
+
     def kernel(*refs):
         x_ref = refs[0]
         tw_refs = refs[1 : 1 + logn * nt]
-        idx = 1 + logn * nt
+        mid_refs = refs[1 + logn * nt : 1 + logn * nt + n_mid]
+        idx = 1 + logn * nt + n_mid
         wmat_refs = refs[idx : idx + n_wm1]
         wmat2_refs = refs[idx + n_wm1 : idx + n_wm1 + n_wm2]
         wfac_refs = refs[idx + n_wm1 + n_wm2 : idx + n_wm1 + n_wm2 + n_wf]
@@ -325,7 +414,10 @@ def build_colpass(
 
         tws = [tuple(tw_refs[s * nt + k][:] for k in range(nt))
                for s in range(logn)]
-        x = run_stages(x, tws, direction, red, fuse=fuse, dit_net=dit_net)
+        x = run_col_network(
+            x, tws, direction, red, phases_ts=phases_ts,
+            mid_vals=(tuple(r[:] for r in mid_refs) if nested else None),
+            rs=(R_mid, S_mid), fuse=fuse, dit_net=dit_net)
         if twiddle_pos == "post":
             wm = tuple(r[:].reshape(x.shape) for r in wmat_refs)
             x = red.mulc_mat(x, *wm)
@@ -363,6 +455,8 @@ def build_colpass(
             pl.BlockSpec((t, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
             for t in ts for _ in range(nt)
         ]
+        tw_specs += [pl.BlockSpec((n1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)] * n_mid
         if transpose_out:
             out_spec = pl.BlockSpec((block_lanes, n1), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -391,6 +485,8 @@ def build_colpass(
             pl.BlockSpec((t, 1), lambda i, b: (0, 0), memory_space=pltpu.VMEM)
             for t in ts for _ in range(nt)
         ]
+        tw_specs += [pl.BlockSpec((n1, 1), lambda i, b: (0, 0),
+                                  memory_space=pltpu.VMEM)] * n_mid
         if transpose_out:
             out_spec = pl.BlockSpec((1, block_lanes, n1), lambda i, b: (b, i, 0),
                                     memory_space=pltpu.VMEM)
@@ -499,13 +595,14 @@ def make_colpass(
     from ntt_aie_tpu import twiddles as tw
 
     red = make_reduction(reduction, field)
-    if direction == "dif":
-        vecs = tw.dif_stage_twiddles(field, n1, inverse=inverse_tw)
-    else:
-        vecs = tw.dit_stage_twiddles(field, n1, inverse=inverse_tw)
+    net = tw.col_network(field, n1, direction=direction, inverse=inverse_tw)
     tw_cols: list[np.ndarray] = []
-    for v in vecs:
-        for tab in red.prepare_table(v):
+    for ph in net["phases"]:
+        for v in ph["vecs"]:
+            for tab in red.prepare_table(v):
+                tw_cols.append(np.ascontiguousarray(tab.reshape(-1, 1)))
+    if net["mid"] is not None:
+        for tab in red.prepare_table(net["mid"]["wmid"]):
             tw_cols.append(np.ascontiguousarray(tab.reshape(-1, 1)))
     wmat_tables = red.prep_mat(wmat) if wmat is not None else None
     wmat2_tables = red.prep_mat(wmat2) if wmat2 is not None else None
@@ -540,6 +637,8 @@ def make_colpass(
         wfac_pos=wfac_pos if wfac is not None else "none",
         wfac_split=wfac_split,
         rank1_pos=rank1_pos if rank1 is not None else "none",
+        phases_ts=tuple(tuple(ph["ts"]) for ph in net["phases"]),
+        mid_rs=(net["R"], net["S"]),
     )
     return PallasColpass(fn, tw_cols, wmat_tables, wmat2_tables, wfac_tables,
                          rank1_tables)
@@ -547,6 +646,7 @@ def make_colpass(
 
 def build_fused_fourstep(
     *,
+    field,
     n1: int,
     n2: int,
     red: Reduction,
@@ -571,12 +671,23 @@ def build_fused_fourstep(
     (nt)], [post (nt)]. tw_a = the FIRST stage set applied (n1 for forward,
     n2 for inverse); wmid shaped like the post-transpose matrix.
     """
+    from ntt_aie_tpu import twiddles as _tw
+
     loga, logb = ((n1.bit_length() - 1, n2.bit_length() - 1) if not inverse
                   else (n2.bit_length() - 1, n1.bit_length() - 1))
     direction = "dit" if inverse else "dif"
     nn_a, nn_b = (n1, n2) if not inverse else (n2, n1)
-    ts_a = _stage_shapes(nn_a, direction)
-    ts_b = _stage_shapes(nn_b, direction)
+    # Column networks from the shared schedule (nested for >= 256 rows:
+    # keeps this opt-in whole-matrix mode on the same spectral order as
+    # the two-pass pipeline).
+    net_a = _tw.col_network(field, nn_a, direction=direction,
+                            inverse=inverse)
+    net_b = _tw.col_network(field, nn_b, direction=direction,
+                            inverse=inverse)
+    ts_a = [t for ph in net_a["phases"] for t in ph["ts"]]
+    ts_b = [t for ph in net_b["phases"] for t in ph["ts"]]
+    nmid_a = red.n_tables if net_a["mid"] is not None else 0
+    nmid_b = red.n_tables if net_b["mid"] is not None else 0
     nt = red.n_tables
     ntm = red.mat_tables
 
@@ -584,7 +695,9 @@ def build_fused_fourstep(
         x_ref = refs[0]
         i = 1
         twa = refs[i : i + loga * nt]; i += loga * nt
+        mida = refs[i : i + nmid_a]; i += nmid_a
         twb = refs[i : i + logb * nt]; i += logb * nt
+        midb = refs[i : i + nmid_b]; i += nmid_b
         wmid = refs[i : i + ntm]; i += ntm
         pre = refs[i : i + ntm] if has_pre else (); i += ntm if has_pre else 0
         post = refs[i : i + ntm] if has_post else ()
@@ -595,12 +708,20 @@ def build_fused_fourstep(
             x = red.mulc_mat(x, *(r[:].reshape(x.shape) for r in pre))
         tws_a = [tuple(twa[s * nt + k][:] for k in range(nt))
                  for s in range(loga)]
-        x = run_stages(x, tws_a, direction, red)
+        x = run_col_network(
+            x, tws_a, direction, red,
+            phases_ts=tuple(tuple(ph["ts"]) for ph in net_a["phases"]),
+            mid_vals=(tuple(r[:] for r in mida) if nmid_a else None),
+            rs=(net_a["R"], net_a["S"]))
         x = x.T
         x = red.mulc_mat(x, *(r[:].reshape(x.shape) for r in wmid))
         tws_b = [tuple(twb[s * nt + k][:] for k in range(nt))
                  for s in range(logb)]
-        x = run_stages(x, tws_b, direction, red)
+        x = run_col_network(
+            x, tws_b, direction, red,
+            phases_ts=tuple(tuple(ph["ts"]) for ph in net_b["phases"]),
+            mid_vals=(tuple(r[:] for r in midb) if nmid_b else None),
+            rs=(net_b["R"], net_b["S"]))
         if has_post:
             x = red.mulc_mat(x, *(r[:].reshape(x.shape) for r in post))
         out_ref[:] = red.canonicalize(x).reshape(out_ref.shape)
@@ -620,7 +741,9 @@ def build_fused_fourstep(
 
     in_specs = [whole((nn_a, nn_b))]
     in_specs += [const2d((t, 1)) for t in ts_a for _ in range(nt)]
+    in_specs += [const2d((nn_a, 1))] * nmid_a         # nested mid, side a
     in_specs += [const2d((t, 1)) for t in ts_b for _ in range(nt)]
+    in_specs += [const2d((nn_b, 1))] * nmid_b         # nested mid, side b
     in_specs += [const2d((nn_b, nn_a))] * ntm         # wmid (post-transpose)
     if has_pre:
         in_specs += [const2d((nn_a, nn_b))] * ntm
@@ -658,12 +781,17 @@ def make_fused_fourstep(
     from ntt_aie_tpu import twiddles as tw
 
     red = make_reduction(reduction, field)
-    gen = tw.dit_stage_twiddles if inverse else tw.dif_stage_twiddles
+    direction = "dit" if inverse else "dif"
     nn_a, nn_b = (n1, n2) if not inverse else (n2, n1)
     cols: list[np.ndarray] = []
     for nn in (nn_a, nn_b):
-        for v in gen(field, nn, inverse=inverse):
-            for tab in red.prepare_table(v):
+        net = tw.col_network(field, nn, direction=direction, inverse=inverse)
+        for ph in net["phases"]:
+            for v in ph["vecs"]:
+                for tab in red.prepare_table(v):
+                    cols.append(np.ascontiguousarray(tab.reshape(-1, 1)))
+        if net["mid"] is not None:
+            for tab in red.prepare_table(net["mid"]["wmid"]):
                 cols.append(np.ascontiguousarray(tab.reshape(-1, 1)))
     tail = list(red.prep_mat(wmid))
     if pre is not None:
@@ -671,7 +799,7 @@ def make_fused_fourstep(
     if post is not None:
         tail += list(red.prep_mat(post))
     fn = build_fused_fourstep(
-        n1=n1, n2=n2, red=red, inverse=inverse,
+        field=field, n1=n1, n2=n2, red=red, inverse=inverse,
         has_pre=pre is not None, has_post=post is not None,
         batch=batch, interpret=interpret,
     )

@@ -247,10 +247,6 @@ def build_distributed_plan(
             iwmat_poly = iwmat_scaled
     pos = tabs["pos"]
 
-    tw1 = red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n1), n1))
-    tw2 = red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n2), n2))
-    itw1 = red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n1, inverse=True), n1))
-    itw2 = red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n2, inverse=True), n2))
     ntab = red.n_tables
     if wfac_on:
         S_split = tw.default_wfac_split(n2)
@@ -278,10 +274,6 @@ def build_distributed_plan(
     else:
         S_split = 0
 
-    tw1_d = tuple(jnp.asarray(t) for t in tw1)
-    tw2_d = tuple(jnp.asarray(t) for t in tw2)
-    itw1_d = tuple(jnp.asarray(t) for t in itw1)
-    itw2_d = tuple(jnp.asarray(t) for t in itw2)
     if wfac_on:
         # The full n1 x n2 matrices are never shipped to the devices in
         # factored mode — that is the point.
@@ -318,31 +310,48 @@ def build_distributed_plan(
 
     from ntt_aie_tpu.ops import pallas_ntt as PN
 
+    # Column networks from the shared schedule (twiddles.col_network —
+    # nested full-occupancy phases for columns >= 256; same spectral
+    # order as the single-chip plan by construction).
+    net1 = tw.col_network(field, n1, direction="dif")
+    net2 = tw.col_network(field, n2, direction="dif")
+    inet1 = tw.col_network(field, n1, direction="dit", inverse=True)
+    inet2 = tw.col_network(field, n2, direction="dit", inverse=True)
+
+    def _net_cols(net):
+        cols = [jnp.asarray(np.ascontiguousarray(c.reshape(-1, 1)))
+                for ph in net["phases"] for v in ph["vecs"]
+                for c in red.prepare_table(v)]
+        if net["mid"] is not None:
+            cols += [jnp.asarray(np.ascontiguousarray(c.reshape(-1, 1)))
+                     for c in red.prepare_table(net["mid"]["wmid"])]
+        return cols
+
+    def _net_kw(net):
+        return dict(phases_ts=tuple(tuple(ph["ts"]) for ph in net["phases"]),
+                    mid_rs=(net["R"], net["S"]))
+
     if engine == "pallas":
         # Pass-2 engines run per overlap chunk: w1 = (n1/D)/C lanes each
         # (the full n1/D when C == 1).
         kwi = dict(red=red, interpret=interpret)
         lcp1 = PN.build_colpass(n1=n1, n2=n2 // D, direction="dif",
                                 twiddle_pos="none" if wfac_on else "post",
-                                **kwi)
+                                **_net_kw(net1), **kwi)
         lcp2 = PN.build_colpass(n1=n2, n2=w1, direction="dif",
                                 canonicalize=True,
                                 wfac_pos="pre" if wfac_on else "none",
-                                wfac_split=S_split, **kwi)
+                                wfac_split=S_split, **_net_kw(net2), **kwi)
         licp2 = PN.build_colpass(n1=n2, n2=w1, direction="dit",
                                  wfac_pos="post" if wfac_on else "none",
-                                 wfac_split=S_split, **kwi)
+                                 wfac_split=S_split, **_net_kw(inet2), **kwi)
         licp1 = PN.build_colpass(n1=n1, n2=n2 // D, direction="dit",
                                  twiddle_pos="none" if wfac_on else "pre",
-                                 canonicalize=True, **kwi)
-        tw_cols_1 = [jnp.asarray(c) for v in tw.dif_stage_twiddles(field, n1)
-                     for c in red.prepare_table(v.reshape(-1, 1))]
-        tw_cols_2 = [jnp.asarray(c) for v in tw.dif_stage_twiddles(field, n2)
-                     for c in red.prepare_table(v.reshape(-1, 1))]
-        itw_cols_1 = [jnp.asarray(c) for v in tw.dit_stage_twiddles(field, n1, inverse=True)
-                      for c in red.prepare_table(v.reshape(-1, 1))]
-        itw_cols_2 = [jnp.asarray(c) for v in tw.dit_stage_twiddles(field, n2, inverse=True)
-                      for c in red.prepare_table(v.reshape(-1, 1))]
+                                 canonicalize=True, **_net_kw(inet1), **kwi)
+        tw_cols_1 = _net_cols(net1)
+        tw_cols_2 = _net_cols(net2)
+        itw_cols_1 = _net_cols(inet1)
+        itw_cols_2 = _net_cols(inet2)
 
         def p1_std(x, t1):
             return lcp1(x, *tw_cols_1, *t1)
@@ -357,19 +366,25 @@ def build_distributed_plan(
             return licp1(y, *itw_cols_1, *t1)
 
     else:
+        col1 = PN.make_col_transform(field, n1, direction="dif", red=red)
+        col2 = PN.make_col_transform(field, n2, direction="dif", red=red)
+        icol1 = PN.make_col_transform(field, n1, direction="dit",
+                                      inverse=True, red=red)
+        icol2 = PN.make_col_transform(field, n2, direction="dit",
+                                      inverse=True, red=red)
 
         def p1_std(x, t1):
-            y = S.dif_stages(x, tw1_d, p, red)
+            y = col1(x)
             return red.mulc_mat(y, *t1) if t1 else y
 
         def p2(xl, t2, c):
             if t2:
                 w = _fac_slice(t2, c)
                 xl = PN.apply_wfac_arrays(xl, w[:ntab], w[ntab:], red)
-            return red.canonicalize(S.dif_stages(xl, tw2_d, p, red))
+            return red.canonicalize(col2(xl))
 
         def ip2(xl, t2, c):
-            y = S.dit_stages(xl, itw2_d, p, red)
+            y = icol2(xl)
             if t2:
                 w = _fac_slice(t2, c)
                 y = PN.apply_wfac_arrays(y, w[:ntab], w[ntab:], red)
@@ -378,7 +393,7 @@ def build_distributed_plan(
         def ip1_std(y, t1):
             if t1:
                 y = red.mulc_mat(y, *t1)
-            return red.canonicalize(S.dit_stages(y, itw1_d, p, red))
+            return red.canonicalize(icol1(y))
 
     # ---- negacyclic psi-scaling engines (X^n + 1 arithmetic) ----
     # Fused exactly like the single-chip plan (plan.py): psi^j rides pass 1
@@ -408,19 +423,22 @@ def build_distributed_plan(
             if wfac_on:
                 lcp1n = PN.build_colpass(n1=n1, n2=n2 // D, red=red,
                                          direction="dif", rank1_pos="pre",
+                                         **_net_kw(net1),
                                          interpret=interpret)
                 licp1n = PN.build_colpass(n1=n1, n2=n2 // D, red=red,
                                           direction="dit", rank1_pos="post",
                                           canonicalize=True,
+                                          **_net_kw(inet1),
                                           interpret=interpret)
             else:
                 lcp1n = PN.build_colpass(n1=n1, n2=n2 // D, red=red,
                                          direction="dif", twiddle_pos="post",
-                                         twiddle_pos2="pre", interpret=interpret)
+                                         twiddle_pos2="pre",
+                                         **_net_kw(net1), interpret=interpret)
                 licp1n = PN.build_colpass(n1=n1, n2=n2 // D, red=red,
                                           direction="dit", twiddle_pos="pre",
                                           twiddle_pos2="post", canonicalize=True,
-                                          interpret=interpret)
+                                          **_net_kw(inet1), interpret=interpret)
 
             def p1_neg(x, t1):
                 # t1 = (wmat, psi) matrix slices, or the psi rank-1 pair
@@ -432,22 +450,22 @@ def build_distributed_plan(
 
             def p1_neg(x, t1):
                 y = red.mul_const(red.mul_const(x, *t1[:ntab]), *t1[ntab:])
-                return S.dif_stages(y, tw1_d, p, red)
+                return col1(y)
 
             def ip1_neg(y, t1):
-                y = S.dit_stages(y, itw1_d, p, red)
+                y = icol1(y)
                 y = red.mul_const(red.mul_const(y, *t1[:ntab]), *t1[ntab:])
                 return red.canonicalize(y)
         else:
 
             def p1_neg(x, t1):
                 y = red.mulc_mat(x, *t1[nw:])
-                y = S.dif_stages(y, tw1_d, p, red)
+                y = col1(y)
                 return red.mulc_mat(y, *t1[:nw])
 
             def ip1_neg(y, t1):
                 y = red.mulc_mat(y, *t1[:nw])
-                y = S.dit_stages(y, itw1_d, p, red)
+                y = icol1(y)
                 return red.canonicalize(red.mulc_mat(y, *t1[nw:]))
 
     # ---- shard_map bodies ----
@@ -661,7 +679,8 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
                               interpret: bool = False,
                               overlap_chunks: int = 1,
                               dp_axis: str | None = None,
-                              hier_axes: tuple | None = None) -> DistributedPlan:
+                              hier_axes: tuple | None = None,
+                              wmat_factored: bool | None = None) -> DistributedPlan:
     """Distributed four-step NTT for p = 2^64 - 2^32 + 1: same structure as
     build_distributed_plan but every value travels as a (hi, lo) uint32 limb
     pair — two same-shaped arrays through the same shardings and the same
@@ -679,10 +698,16 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
     composition as the 32-bit plan; overlap_chunks splits each
     transform's collective per chunk in both the 1D and batched paths.
     hier_axes decomposes the transpose per network tier exactly as in
-    build_distributed_plan."""
-    from ntt_aie_tpu.goldilocks_plan import (
-        _dev_limbs, _split_limbs, gl_dif_stages, gl_dit_stages,
-    )
+    build_distributed_plan.
+
+    wmat_factored mirrors build_distributed_plan at 64 bits: the
+    four-step multiply runs from sqrt-size factored limb tables riding
+    pass 2 on the far side of the collective (fwd 'pre' / inv 'post');
+    negacyclic psi becomes rank-1 limb-pair vector operands. GL is where
+    full matrices hurt most — TWO limb planes per (n1, n2) operand.
+    None = True (the distributed default since round 4); bit-identical
+    outputs either way (tested)."""
+    from ntt_aie_tpu.goldilocks_plan import _dev_limbs, _split_limbs
     from ntt_aie_tpu.ops import modops as M
 
     field = config.field
@@ -702,91 +727,186 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    tabs = tw.fourstep_tables(field, n1, n2)
-    wmat, iwmat_scaled, pos = tabs["wmat"], tabs["iwmat_scaled"], tabs["pos"]
+    wfac_on = bool(wmat_factored) if wmat_factored is not None else True
+    if wfac_on:
+        tabs = tw.fourstep_tables_light(field, n1, n2)
+        pos = tabs["pos"]
+        S_split = tw.default_wfac_split(n2)
+        _pw = tw.root_powers(field, n)  # one O(n) table for both
+        wf_f = tw.fourstep_wfac_T(field, n1, n2, split=S_split, _pows=_pw)
+        wf_i = tw.fourstep_wfac_T(field, n1, n2, inverse=True,
+                                  scale=tabs["n_inv"], split=S_split,
+                                  _pows=_pw)
+        del _pw
+        # 4 limb arrays per direction: T1 (n2/S, n1) hi/lo + T2 (S, n1)
+        # hi/lo, sharded over their n1 LANE axis with the data
+        wfac_f_d = _dev_limbs(wf_f[0]) + _dev_limbs(wf_f[1])
+        wfac_i_d = _dev_limbs(wf_i[0]) + _dev_limbs(wf_i[1])
+        wmat_d = iwmat_d = ()
+    else:
+        S_split = 0
+        tabs = tw.fourstep_tables(field, n1, n2)
+        wmat, iwmat_scaled, pos = (tabs["wmat"], tabs["iwmat_scaled"],
+                                   tabs["pos"])
+        wmat_d = _dev_limbs(wmat)
+        iwmat_d = _dev_limbs(iwmat_scaled)
+        wfac_f_d = wfac_i_d = ()
 
-    def _pack(nn, direction, inverse=False):
-        gen = tw.dif_stage_twiddles if direction == "dif" else tw.dit_stage_twiddles
-        return _dev_limbs(tw.pack_stage_twiddles(gen(field, nn, inverse=inverse), nn))
+    def _fac_slice(t2, c):
+        # slice the lane axis of the 4 factored limb arrays per chunk
+        if C == 1 or not t2:
+            return t2
+        return tuple(jax.lax.slice_in_dim(a, c * w1, (c + 1) * w1, axis=1)
+                     for a in t2)
 
-    tw1 = _pack(n1, "dif")
-    tw2 = _pack(n2, "dif")
-    itw1 = _pack(n1, "dit", inverse=True)
-    itw2 = _pack(n2, "dit", inverse=True)
-    wmat_d = _dev_limbs(wmat)
-    iwmat_d = _dev_limbs(iwmat_scaled)
+    def _gl_apply_wfac(h, l, t2):
+        # rows are the linear exponent axis c = c1*S + c0 (same math as
+        # pallas_gl._apply_wfac / pallas_ntt.apply_wfac_arrays, on limbs)
+        rr, cc = h.shape
+        s = t2[2].shape[0]
+        hr, lr = h.reshape(rr // s, s, cc), l.reshape(rr // s, s, cc)
+        hr, lr = M.gl_mul(hr, lr, t2[0].reshape(rr // s, 1, cc),
+                          t2[1].reshape(rr // s, 1, cc))
+        hr, lr = M.gl_mul(hr, lr, t2[2].reshape(1, s, cc),
+                          t2[3].reshape(1, s, cc))
+        return hr.reshape(rr, cc), lr.reshape(rr, cc)
 
     # ---- local pass engines (uniform signatures, like the 32-bit plan) ----
-    #   p1(h, l, wh, wl, psi)  pass 1 on the local (n1, n2/D) block:
-    #                          [psi ⊙] -> DIF stages -> ⊙ wmat
-    #   p2(h, l)               pass 2 on a transposed (n2, w1) chunk
-    #   ip2(h, l)              inverse pass 2 on a spectral (n2, w1) chunk
-    #   ip1(h, l, wh, wl, psi) inverse pass 1: ⊙ iwmat -> DIT stages [-> psi ⊙]
+    #   p1(h, l, t1)      pass 1 on the local (n1, n2/D) block; t1 = full
+    #                     wmat limb pair [+ psi pair], or psi rank-1 limbs
+    #   p2(h, l, t2, c)   pass 2 on a transposed (n2, w1) chunk; t2 = the
+    #                     factored limb tables (sliced per chunk c), or ()
+    #   ip2(h, l, t2, c)  inverse pass 2 on a spectral (n2, w1) chunk
+    #   ip1(h, l, t1)     inverse pass 1 on the regrouped (n1, n2/D) block
+    # Column networks from the shared schedule (same spectral order as
+    # every other engine by construction).
+    gnet1 = tw.col_network(field, n1, direction="dif")
+    gnet2 = tw.col_network(field, n2, direction="dif")
+    ginet1 = tw.col_network(field, n1, direction="dit", inverse=True)
+    ginet2 = tw.col_network(field, n2, direction="dit", inverse=True)
+
+    def _gnet_kw(net_):
+        return dict(
+            phases_ts=tuple(tuple(ph["ts"]) for ph in net_["phases"]),
+            mid_rs=(net_["R"], net_["S"]))
+
     if engine == "pallas":
         from ntt_aie_tpu.ops import pallas_gl as PG
 
-        def _stage_limb_cols(nn, direction, inverse=False):
-            gen = (tw.dif_stage_twiddles if direction == "dif"
-                   else tw.dit_stage_twiddles)
+        def _net_limb_cols(net_):
             cols = []
-            for v in gen(field, nn, inverse=inverse):
-                hi, lo = _split_limbs(v.reshape(-1, 1))
+            for ph in net_["phases"]:
+                for v in ph["vecs"]:
+                    hi, lo = _split_limbs(v.reshape(-1, 1))
+                    cols.extend([jnp.asarray(hi), jnp.asarray(lo)])
+            if net_["mid"] is not None:
+                hi, lo = _split_limbs(net_["mid"]["wmid"].reshape(-1, 1))
                 cols.extend([jnp.asarray(hi), jnp.asarray(lo)])
             return cols
 
-        c1 = _stage_limb_cols(n1, "dif")
-        c2 = _stage_limb_cols(n2, "dif")
-        ic1 = _stage_limb_cols(n1, "dit", inverse=True)
-        ic2 = _stage_limb_cols(n2, "dit", inverse=True)
+        c1 = _net_limb_cols(gnet1)
+        c2 = _net_limb_cols(gnet2)
+        ic1 = _net_limb_cols(ginet1)
+        ic2 = _net_limb_cols(ginet2)
         kwp = dict(interpret=interpret)
-        lcp1 = PG.build_gl_colpass(n1=n1, n2=n2 // D, direction="dif",
-                                   twiddle_pos="post", **kwp)
-        lcp2 = PG.build_gl_colpass(n1=n2, n2=w1, direction="dif", **kwp)
-        licp2 = PG.build_gl_colpass(n1=n2, n2=w1, direction="dit", **kwp)
-        licp1 = PG.build_gl_colpass(n1=n1, n2=n2 // D, direction="dit",
-                                    twiddle_pos="pre", **kwp)
+        lcp1 = PG.build_gl_colpass(
+            n1=n1, n2=n2 // D, direction="dif",
+            twiddle_pos="none" if wfac_on else "post",
+            **_gnet_kw(gnet1), **kwp)
+        lcp2 = PG.build_gl_colpass(
+            n1=n2, n2=w1, direction="dif",
+            wfac_pos="pre" if wfac_on else "none",
+            wfac_split=S_split, **_gnet_kw(gnet2), **kwp)
+        licp2 = PG.build_gl_colpass(
+            n1=n2, n2=w1, direction="dit",
+            wfac_pos="post" if wfac_on else "none",
+            wfac_split=S_split, **_gnet_kw(ginet2), **kwp)
+        licp1 = PG.build_gl_colpass(
+            n1=n1, n2=n2 // D, direction="dit",
+            twiddle_pos="none" if wfac_on else "pre",
+            **_gnet_kw(ginet1), **kwp)
         if config.negacyclic:
-            lcp1n = PG.build_gl_colpass(n1=n1, n2=n2 // D, direction="dif",
-                                        twiddle_pos="post",
-                                        twiddle_pos2="pre", **kwp)
-            licp1n = PG.build_gl_colpass(n1=n1, n2=n2 // D, direction="dit",
-                                         twiddle_pos="pre",
-                                         twiddle_pos2="post", **kwp)
+            if wfac_on:
+                lcp1n = PG.build_gl_colpass(n1=n1, n2=n2 // D,
+                                            direction="dif",
+                                            rank1_pos="pre",
+                                            **_gnet_kw(gnet1), **kwp)
+                licp1n = PG.build_gl_colpass(n1=n1, n2=n2 // D,
+                                             direction="dit",
+                                             rank1_pos="post",
+                                             **_gnet_kw(ginet1), **kwp)
+            else:
+                lcp1n = PG.build_gl_colpass(n1=n1, n2=n2 // D,
+                                            direction="dif",
+                                            twiddle_pos="post",
+                                            twiddle_pos2="pre",
+                                            **_gnet_kw(gnet1), **kwp)
+                licp1n = PG.build_gl_colpass(n1=n1, n2=n2 // D,
+                                             direction="dit",
+                                             twiddle_pos="pre",
+                                             twiddle_pos2="post",
+                                             **_gnet_kw(ginet1), **kwp)
 
-        def p1(h, l, wh, wl, psi):
-            if psi:
-                return lcp1n(h, l, *c1, wh, wl, psi[0], psi[1])
-            return lcp1(h, l, *c1, wh, wl)
+        def p1(h, l, t1):
+            if len(t1) > 2 or (wfac_on and t1):
+                return lcp1n(h, l, *c1, *t1)
+            if t1:
+                return lcp1(h, l, *c1, *t1)
+            return lcp1(h, l, *c1)
 
-        def p2(h, l):
-            return lcp2(h, l, *c2)
+        def p2(h, l, t2, c):
+            return lcp2(h, l, *c2, *_fac_slice(t2, c))
 
-        def ip2(h, l):
-            return licp2(h, l, *ic2)
+        def ip2(h, l, t2, c):
+            return licp2(h, l, *ic2, *_fac_slice(t2, c))
 
-        def ip1(h, l, wh, wl, psi):
-            if psi:
-                return licp1n(h, l, *ic1, wh, wl, psi[0], psi[1])
-            return licp1(h, l, *ic1, wh, wl)
+        def ip1(h, l, t1):
+            if len(t1) > 2 or (wfac_on and t1):
+                return licp1n(h, l, *ic1, *t1)
+            if t1:
+                return licp1(h, l, *ic1, *t1)
+            return licp1(h, l, *ic1)
     else:
+        from ntt_aie_tpu.goldilocks_plan import gl_col_transform
 
-        def p1(h, l, wh, wl, psi):
-            if psi:
-                h, l = M.gl_mul(h, l, psi[0], psi[1])
-            h, l = gl_dif_stages(h, l, *tw1)
-            return M.gl_mul(h, l, wh, wl)
+        gcol1 = gl_col_transform(field, n1, direction="dif")
+        gcol2 = gl_col_transform(field, n2, direction="dif")
+        gicol1 = gl_col_transform(field, n1, direction="dit", inverse=True)
+        gicol2 = gl_col_transform(field, n2, direction="dit", inverse=True)
 
-        def p2(h, l):
-            return gl_dif_stages(h, l, *tw2)
+        def p1(h, l, t1):
+            if wfac_on:
+                if t1:  # psi rank-1 limbs: (rh, rl, ch, cl)
+                    h, l = M.gl_mul(h, l, t1[0], t1[1])
+                    h, l = M.gl_mul(h, l, t1[2], t1[3])
+                return gcol1(h, l)
+            if len(t1) > 2:  # (wmat pair, psi pair): psi applies FIRST
+                h, l = M.gl_mul(h, l, t1[2], t1[3])
+            h, l = gcol1(h, l)
+            return M.gl_mul(h, l, t1[0], t1[1])
 
-        def ip2(h, l):
-            return gl_dit_stages(h, l, *itw2)
+        def p2(h, l, t2, c):
+            if t2:  # factored four-step multiply rides pass 2 'pre'
+                h, l = _gl_apply_wfac(h, l, _fac_slice(t2, c))
+            return gcol2(h, l)
 
-        def ip1(h, l, wh, wl, psi):
-            h, l = M.gl_mul(h, l, wh, wl)
-            h, l = gl_dit_stages(h, l, *itw1)
-            if psi:
-                h, l = M.gl_mul(h, l, psi[0], psi[1])
+        def ip2(h, l, t2, c):
+            h, l = gicol2(h, l)
+            if t2:
+                h, l = _gl_apply_wfac(h, l, _fac_slice(t2, c))
+            return h, l
+
+        def ip1(h, l, t1):
+            if wfac_on:
+                h, l = gicol1(h, l)
+                if t1:  # psi^-1 rank-1 limbs applied after the stages
+                    h, l = M.gl_mul(h, l, t1[0], t1[1])
+                    h, l = M.gl_mul(h, l, t1[2], t1[3])
+                return h, l
+            h, l = M.gl_mul(h, l, t1[0], t1[1])
+            h, l = gicol1(h, l)
+            if len(t1) > 2:
+                h, l = M.gl_mul(h, l, t1[2], t1[3])
             return h, l
 
     if dp_axis is None:
@@ -802,115 +922,142 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
     def _a2a_inv(h, l, r, row_axis=0, col_axis=1):
         return a2a_i(h, r, row_axis, col_axis), a2a_i(l, r, row_axis, col_axis)
 
-    def fwd_body(h, l, wh, wl, *psi):
-        # psi: optional negacyclic limb pair applied BEFORE pass 1
-        h, l = p1(h, l, wh, wl, psi)
-        if C == 1:
-            h, l = _a2a_fwd(h, l, w1)
-            return p2(h.T, l.T)
-        # Chunked overlap over the target n1 rows — the same regrouping as
-        # the 32-bit plan, applied to both limb planes.
-        hg = h.reshape(D, C, w1, n2 // D)
-        lg = l.reshape(D, C, w1, n2 // D)
-        oh, ol = [], []
-        for c in range(C):
-            tch, tcl = _a2a_fwd(hg[:, c].reshape(D * w1, n2 // D),
-                                lg[:, c].reshape(D * w1, n2 // D), w1)
-            rh, rl = p2(tch.T, tcl.T)                    # (n2, w1)
-            oh.append(rh)
-            ol.append(rl)
-        return jnp.concatenate(oh, axis=1), jnp.concatenate(ol, axis=1)
-
-    def inv_body(h, l, wh, wl, *psi):
-        # psi: optional negacyclic psi^-1 limb pair applied AFTER pass 1
-        if C == 1:
-            h, l = ip2(h, l)
-            h, l = _a2a_inv(h.T, l.T, w1)
-        else:
-            rh, rl = [], []
+    def make_fwd_body(n_t1):
+        def fwd_body(h, l, *tabs):
+            # tabs: pass-1 limb operands first (n_t1), pass-2 after
+            t1, t2 = tabs[:n_t1], tabs[n_t1:]
+            h, l = p1(h, l, t1)
+            if C == 1:
+                h, l = _a2a_fwd(h, l, w1)
+                return p2(h.T, l.T, t2, 0)
+            # Chunked overlap over the target n1 rows — the same
+            # regrouping as the 32-bit plan, applied to both limb planes.
+            hg = h.reshape(D, C, w1, n2 // D)
+            lg = l.reshape(D, C, w1, n2 // D)
+            oh, ol = [], []
             for c in range(C):
-                hc = jax.lax.slice_in_dim(h, c * w1, (c + 1) * w1, axis=1)
-                lc = jax.lax.slice_in_dim(l, c * w1, (c + 1) * w1, axis=1)
-                yh, yl = ip2(hc, lc)                     # (n2, w1)
-                tch, tcl = _a2a_inv(yh.T, yl.T, w1)      # (D*w1, n2/D)
-                rh.append(tch)
-                rl.append(tcl)
-            h = jnp.stack(rh, 0).reshape(C, D, w1, n2 // D) \
-                   .transpose(1, 0, 2, 3).reshape(n1, n2 // D)
-            l = jnp.stack(rl, 0).reshape(C, D, w1, n2 // D) \
-                   .transpose(1, 0, 2, 3).reshape(n1, n2 // D)
-        return ip1(h, l, wh, wl, psi)
+                tch, tcl = _a2a_fwd(hg[:, c].reshape(D * w1, n2 // D),
+                                    lg[:, c].reshape(D * w1, n2 // D), w1)
+                rh, rl = p2(tch.T, tcl.T, t2, c)         # (n2, w1)
+                oh.append(rh)
+                ol.append(rl)
+            return jnp.concatenate(oh, axis=1), jnp.concatenate(ol, axis=1)
+        return fwd_body
+
+    def make_inv_body(n_t2):
+        def inv_body(h, l, *tabs):
+            t2, t1 = tabs[:n_t2], tabs[n_t2:]
+            if C == 1:
+                h, l = ip2(h, l, t2, 0)
+                h, l = _a2a_inv(h.T, l.T, w1)
+            else:
+                rh, rl = [], []
+                for c in range(C):
+                    hc = jax.lax.slice_in_dim(h, c * w1, (c + 1) * w1, axis=1)
+                    lc = jax.lax.slice_in_dim(l, c * w1, (c + 1) * w1, axis=1)
+                    yh, yl = ip2(hc, lc, t2, c)          # (n2, w1)
+                    tch, tcl = _a2a_inv(yh.T, yl.T, w1)  # (D*w1, n2/D)
+                    rh.append(tch)
+                    rl.append(tcl)
+                h = jnp.stack(rh, 0).reshape(C, D, w1, n2 // D) \
+                       .transpose(1, 0, 2, 3).reshape(n1, n2 // D)
+                l = jnp.stack(rl, 0).reshape(C, D, w1, n2 // D) \
+                       .transpose(1, 0, 2, 3).reshape(n1, n2 // D)
+            return ip1(h, l, t1)
+        return inv_body
 
     if dp_axis is not None:
         # Batched bodies: vmap the local limb passes over the per-device
         # batch; the two all_to_alls move to the shifted axes (the same
         # composition as the 32-bit plan's batched bodies, incl. the
         # per-chunk collective split when C > 1).
-        def fwd_body_b(h, l, wh, wl, *psi):
-            h, l = jax.vmap(lambda hb, lb: p1(hb, lb, wh, wl, psi))(h, l)
-            if C == 1:
-                h, l = _a2a_fwd(h, l, w1, 1, 2)
-                h = jnp.transpose(h, (0, 2, 1))
-                l = jnp.transpose(l, (0, 2, 1))
-                return jax.vmap(p2)(h, l)
-            bl = h.shape[0]
-            hg = h.reshape(bl, D, C, w1, n2 // D)
-            lg = l.reshape(bl, D, C, w1, n2 // D)
-            oh, ol = [], []
-            for c in range(C):
-                tch, tcl = _a2a_fwd(hg[:, :, c].reshape(bl, D * w1, n2 // D),
-                                    lg[:, :, c].reshape(bl, D * w1, n2 // D),
-                                    w1, 1, 2)
-                rh, rl = jax.vmap(p2)(
-                    jnp.transpose(tch, (0, 2, 1)), jnp.transpose(tcl, (0, 2, 1)))
-                oh.append(rh)
-                ol.append(rl)
-            return jnp.concatenate(oh, axis=2), jnp.concatenate(ol, axis=2)
-
-        def inv_body_b(h, l, wh, wl, *psi):
-            if C == 1:
-                h, l = jax.vmap(ip2)(h, l)
-                h = jnp.transpose(h, (0, 2, 1))
-                l = jnp.transpose(l, (0, 2, 1))
-                h, l = _a2a_inv(h, l, w1, 1, 2)
-            else:
+        def make_fwd_body(n_t1):  # noqa: F811
+            def fwd_body(h, l, *tabs):
+                t1, t2 = tabs[:n_t1], tabs[n_t1:]
+                h, l = jax.vmap(lambda hb, lb: p1(hb, lb, t1))(h, l)
+                if C == 1:
+                    h, l = _a2a_fwd(h, l, w1, 1, 2)
+                    h = jnp.transpose(h, (0, 2, 1))
+                    l = jnp.transpose(l, (0, 2, 1))
+                    return jax.vmap(lambda hb, lb: p2(hb, lb, t2, 0))(h, l)
                 bl = h.shape[0]
-                rh, rl = [], []
+                hg = h.reshape(bl, D, C, w1, n2 // D)
+                lg = l.reshape(bl, D, C, w1, n2 // D)
+                oh, ol = [], []
                 for c in range(C):
-                    hc = jax.lax.slice_in_dim(h, c * w1, (c + 1) * w1, axis=2)
-                    lc = jax.lax.slice_in_dim(l, c * w1, (c + 1) * w1, axis=2)
-                    yh, yl = jax.vmap(ip2)(hc, lc)
-                    tch, tcl = _a2a_inv(jnp.transpose(yh, (0, 2, 1)),
-                                        jnp.transpose(yl, (0, 2, 1)), w1, 1, 2)
-                    rh.append(tch)
-                    rl.append(tcl)
+                    tch, tcl = _a2a_fwd(
+                        hg[:, :, c].reshape(bl, D * w1, n2 // D),
+                        lg[:, :, c].reshape(bl, D * w1, n2 // D), w1, 1, 2)
+                    rh, rl = jax.vmap(lambda hb, lb, _c=c: p2(hb, lb, t2, _c))(
+                        jnp.transpose(tch, (0, 2, 1)),
+                        jnp.transpose(tcl, (0, 2, 1)))
+                    oh.append(rh)
+                    ol.append(rl)
+                return (jnp.concatenate(oh, axis=2),
+                        jnp.concatenate(ol, axis=2))
+            return fwd_body
 
-                def _regroup_b(parts):
-                    z = jnp.stack(parts, axis=1)   # (bl, C, D*w1, n2/D)
-                    z = z.reshape(bl, C, D, w1, n2 // D).transpose(0, 2, 1, 3, 4)
-                    return z.reshape(bl, n1, n2 // D)
+        def make_inv_body(n_t2):  # noqa: F811
+            def inv_body(h, l, *tabs):
+                t2, t1 = tabs[:n_t2], tabs[n_t2:]
+                if C == 1:
+                    h, l = jax.vmap(lambda hb, lb: ip2(hb, lb, t2, 0))(h, l)
+                    h = jnp.transpose(h, (0, 2, 1))
+                    l = jnp.transpose(l, (0, 2, 1))
+                    h, l = _a2a_inv(h, l, w1, 1, 2)
+                else:
+                    bl = h.shape[0]
+                    rh, rl = [], []
+                    for c in range(C):
+                        hc = jax.lax.slice_in_dim(h, c * w1, (c + 1) * w1,
+                                                  axis=2)
+                        lc = jax.lax.slice_in_dim(l, c * w1, (c + 1) * w1,
+                                                  axis=2)
+                        yh, yl = jax.vmap(
+                            lambda hb, lb, _c=c: ip2(hb, lb, t2, _c))(hc, lc)
+                        tch, tcl = _a2a_inv(jnp.transpose(yh, (0, 2, 1)),
+                                            jnp.transpose(yl, (0, 2, 1)),
+                                            w1, 1, 2)
+                        rh.append(tch)
+                        rl.append(tcl)
 
-                h, l = _regroup_b(rh), _regroup_b(rl)
-            return jax.vmap(lambda hb, lb: ip1(hb, lb, wh, wl, psi))(h, l)
+                    def _regroup_b(parts):
+                        z = jnp.stack(parts, axis=1)  # (bl, C, D*w1, n2/D)
+                        z = z.reshape(bl, C, D, w1, n2 // D) \
+                             .transpose(0, 2, 1, 3, 4)
+                        return z.reshape(bl, n1, n2 // D)
 
-        fwd_body, inv_body = fwd_body_b, inv_body_b
+                    h, l = _regroup_b(rh), _regroup_b(rl)
+                return jax.vmap(lambda hb, lb: ip1(hb, lb, t1))(h, l)
+            return inv_body
 
-    smap = lambda body, extra=0: jax.shard_map(  # noqa: E731
-        body, mesh=mesh,
-        in_specs=(colshard, colshard) + (wspec,) * (2 + extra),
-        out_specs=(colshard, colshard),
-        # pallas_call outputs carry no varying-mesh-axis metadata (see the
-        # 32-bit plan's smap); sharding is explicit here anyway
-        check_vma=(engine != "pallas"),
-    )
-    fwd_m = smap(fwd_body)
-    inv_m = smap(inv_body)
+    def smap(body, tab_specs):
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(colshard, colshard) + tuple(tab_specs),
+            out_specs=(colshard, colshard),
+            # pallas_call outputs carry no varying-mesh-axis metadata (see
+            # the 32-bit plan's smap); sharding is explicit here anyway
+            check_vma=(engine != "pallas"),
+        )
+
+    if wfac_on:
+        # wfac limb tables (n2/S, n1) + (S, n1) hi/lo: sharded over their
+        # n1 LANE axis with the data; they ride pass 2
+        facspec = (wspec,) * 4
+        fwd_m = smap(make_fwd_body(0), facspec)
+        inv_m = smap(make_inv_body(4), facspec)
+        fwd_tabs, inv_tabs = wfac_f_d, wfac_i_d
+    else:
+        fwd_m = smap(make_fwd_body(2), (wspec,) * 2)
+        inv_m = smap(make_inv_body(0), (wspec,) * 2)
+        fwd_tabs, inv_tabs = wmat_d, iwmat_d
 
     def fwd_fn(hl):
-        return fwd_m(hl[0], hl[1], *wmat_d)
+        return fwd_m(hl[0], hl[1], *fwd_tabs)
 
     def inv_fn(hl):
-        return inv_m(hl[0], hl[1], *iwmat_d)
+        return inv_m(hl[0], hl[1], *inv_tabs)
 
     def polymul_fn(a, b):
         fah, fal = fwd_fn(a)
@@ -920,17 +1067,41 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
 
     negacyclic_fn = None
     if config.negacyclic:
-        psi_d = _dev_limbs(tw.negacyclic_psi_powers(field, n).reshape(n1, n2))
-        ipsi_d = _dev_limbs(
-            tw.negacyclic_psi_powers(field, n, inverse=True).reshape(n1, n2))
-        fwd_neg_m = smap(fwd_body, extra=2)
-        inv_neg_m = smap(inv_body, extra=2)
+        if wfac_on:
+            # psi rank-1 limb factors: replicated row pair (n1, 1) +
+            # column-sharded lane pair (1, n2) — ordered (rh, rl, ch, cl)
+            # to match pallas_gl's rank1 operand order
+            def _r1_limbs(fac):
+                row, col = fac
+                rh, rl = _split_limbs(np.reshape(row, (n1, 1)))
+                ch, cl = _split_limbs(np.reshape(col, (1, n2)))
+                return (jnp.asarray(rh), jnp.asarray(rl),
+                        jnp.asarray(ch), jnp.asarray(cl))
+
+            psi_d = _r1_limbs(tw.negacyclic_psi_factors(field, n1, n2))
+            ipsi_d = _r1_limbs(tw.negacyclic_psi_factors(field, n1, n2,
+                                                         inverse=True))
+            r1spec = (P(None, None),) * 2 + (wspec,) * 2
+            fwd_neg_m = smap(make_fwd_body(4), r1spec + facspec)
+            inv_neg_m = smap(make_inv_body(4), facspec + r1spec)
+            neg_fwd_tabs = psi_d + wfac_f_d
+            neg_inv_tabs = wfac_i_d + ipsi_d
+        else:
+            psi_d = _dev_limbs(
+                tw.negacyclic_psi_powers(field, n).reshape(n1, n2))
+            ipsi_d = _dev_limbs(
+                tw.negacyclic_psi_powers(field, n,
+                                         inverse=True).reshape(n1, n2))
+            fwd_neg_m = smap(make_fwd_body(4), (wspec,) * 4)
+            inv_neg_m = smap(make_inv_body(0), (wspec,) * 4)
+            neg_fwd_tabs = wmat_d + psi_d
+            neg_inv_tabs = iwmat_d + ipsi_d
 
         def negacyclic_fn(a, b):
-            fah, fal = fwd_neg_m(a[0], a[1], *wmat_d, *psi_d)
-            fbh, fbl = fwd_neg_m(b[0], b[1], *wmat_d, *psi_d)
+            fah, fal = fwd_neg_m(a[0], a[1], *neg_fwd_tabs)
+            fbh, fbl = fwd_neg_m(b[0], b[1], *neg_fwd_tabs)
             fc = M.gl_mul(fah, fal, fbh, fbl)
-            return inv_neg_m(fc[0], fc[1], *iwmat_d, *ipsi_d)
+            return inv_neg_m(fc[0], fc[1], *neg_inv_tabs)
 
     in_sharding = NamedSharding(mesh, colshard)
 
@@ -946,6 +1117,7 @@ def build_gl_distributed_plan(config: NTTConfig, mesh: Mesh, *,
         reduction="goldilocks",
         negacyclic_polymul=(jax.jit(negacyclic_fn)
                             if negacyclic_fn is not None else None),
+        wmat_factored=wfac_on,
     )
 
     def _split_u64(a_flat):

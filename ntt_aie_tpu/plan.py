@@ -112,7 +112,9 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
     if kind == "goldilocks":
         from ntt_aie_tpu.goldilocks_plan import build_goldilocks_plan
 
-        return build_goldilocks_plan(config, engine=engine, interpret=interpret)
+        return build_goldilocks_plan(config, engine=engine,
+                                     interpret=interpret,
+                                     wmat_factored=wmat_factored)
 
     requested_engine = engine
     if engine == "auto":
@@ -393,28 +395,35 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             return out
 
     elif n2 > 1:  # xla engine
-        tw1 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n1), n1)))
-        tw2 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dif_stage_twiddles(field, n2), n2)))
-        itw1 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n1, inverse=True), n1)))
-        itw2 = _dev(red.prepare_table(tw.pack_stage_twiddles(tw.dit_stage_twiddles(field, n2, inverse=True), n2)))
+        from ntt_aie_tpu.ops import pallas_ntt as PN
+
+        # Column transforms from the shared col_network schedule (nested
+        # for columns >= 256 — same spectral order as the Pallas engine
+        # by construction).
+        col1 = PN.make_col_transform(field, n1, direction="dif", red=red)
+        col2 = PN.make_col_transform(field, n2, direction="dif", red=red)
+        icol1 = PN.make_col_transform(field, n1, direction="dit",
+                                      inverse=True, red=red)
+        icol2 = PN.make_col_transform(field, n2, direction="dit",
+                                      inverse=True, red=red)
         wmat_dev = _dev(red.prep_mat(wmat))
         iwmat_dev = _dev(red.prep_mat(iwmat_scaled))
         iwmat_poly_dev = _dev(red.prep_mat(iwmat_poly))
 
         def fwd_fn(a):
             x = a.astype(jnp.uint32).reshape(n1, n2)
-            x = S.dif_stages(x, tw1, p, red)
+            x = col1(x)
             x = red.mulc_mat(x, *wmat_dev)
             x = x.T
-            x = S.dif_stages(x, tw2, p, red)
+            x = col2(x)
             return red.canonicalize(x).reshape(n)
 
         def _inv_core(a, iw):
             x = a.astype(jnp.uint32).reshape(n2, n1)
-            x = S.dit_stages(x, itw2, p, red)
+            x = icol2(x)
             x = x.T
             x = red.mulc_mat(x, *iw)
-            x = S.dit_stages(x, itw1, p, red)
+            x = icol1(x)
             return red.canonicalize(x).reshape(n)
 
         inv_fn = lambda a: _inv_core(a, iwmat_dev)  # noqa: E731

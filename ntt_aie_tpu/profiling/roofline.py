@@ -122,18 +122,120 @@ def measure_peak(*, mb: int = 256, iters: int = 10, repeats: int = 5,
     return out
 
 
+_measured_vpu_cache: dict = {}
+
+
+def measure_vpu_peak(*, reduction: str = "harvey4", mb: int = 32,
+                     r: int = 64, iters: int = 10, repeats: int = 5,
+                     cache: bool = True) -> dict:
+    """Calibrated VPU butterfly peak: the EXACT butterfly arithmetic of the
+    NTT kernels (ops/reductions.py add / sub_for_mul / mul_const — e.g.
+    harvey4's 5-mul approximate-Shoup multiply) chained R deep per element
+    with zero network overhead: no reshapes, no concats, no per-stage
+    twiddle table streaming, no transpose. What this measures is the
+    achievable ideal-conditions butterfly issue rate of THIS chip's vector
+    unit — the honest compute denominator the HBM calibration
+    (measure_peak) cannot provide. If the fused kernel's achieved
+    butterfly rate is ~this number, the stage network is at issue rate
+    and the optimization ladder is done; a gap localizes remaining
+    overhead to the network (reshape/concat/table traffic), not the
+    arithmetic.
+
+    Methodology matches measure_peak: K barrier-separated probe passes per
+    dispatch (R chained butterflies each), timed with the dependent-chain
+    + readback fence (utils/timing.py), net of a tiny-buffer dispatch
+    baseline. At R = 64 the arithmetic intensity is ~270 lane-ops/byte —
+    far above the ridge, so HBM cannot be the bound.
+
+    Values stay inside the strategy's lazy domain by construction
+    (u, v <- add(u, v), mul_const(sub_for_mul(u, v))), so the probe is
+    also a legal value stream, not just representative ops.
+
+    Returns {"butterflies_per_sec", "lane_gops" (at the strategy's
+    ops/butterfly estimate), "us_per_pass", "r", "buffer_mb"}."""
+    key = (reduction, mb, r)
+    if cache and key in _measured_vpu_cache:
+        return _measured_vpu_cache[key]
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ntt_aie_tpu.fields import P_469762049, P_998244353
+    from ntt_aie_tpu.ops.reductions import make_reduction
+    from ntt_aie_tpu.utils.timing import time_device
+
+    field = P_469762049 if reduction == "harvey4" else P_998244353
+    red = make_reduction(reduction, field)
+    # ~lane-ops per butterfly, for the Gops conversion only (the
+    # butterfly rate itself is measured, not modeled): harvey4 = 5 muls
+    # + ~12 shifts/adds/selects (DESIGN.md §2), harvey ~= 6 + 10.
+    ops_per_bfly = {"harvey4": 17, "harvey": 16}.get(reduction, 17)
+
+    n = mb * 1024 * 1024 // 4
+    half = n // 2
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, field.p, n, dtype=np.int64)
+                    .astype(np.uint32))
+    # One twiddle vector, shaped to broadcast along the data exactly like
+    # a fused stage's per-stage vector operand (hoisted by the compiler —
+    # matching the kernel, where stage tables live in VMEM across lanes).
+    tw = red.prepare_table(
+        np.asarray(rng.integers(1, field.p, 8, dtype=np.int64)))
+    tw_dev = tuple(jnp.asarray(t.reshape(8, 1)) for t in tw)
+
+    K = 4
+
+    def step(v):
+        h = v.shape[0] // 2  # static per trace (big probe vs tiny baseline)
+        u, w = v[:h].reshape(8, -1), v[h:].reshape(8, -1)
+        for _ in range(K):
+            for _ in range(r):
+                s = red.add(u, w)
+                d = red.sub_for_mul(u, w) if red.sub_for_mul else red.sub(u, w)
+                m = red.mul_const(d, *tw_dev)
+                u, w = s, m
+            u, w = jax.lax.optimization_barrier((u, w))
+        return jnp.concatenate([u.reshape(-1), w.reshape(-1)])
+
+    res = time_device(jax.jit(step), x, iters=iters, repeats=repeats)
+    tiny = jnp.asarray(rng.integers(0, field.p, 2048, dtype=np.int64)
+                       .astype(np.uint32))
+    base = time_device(jax.jit(step), tiny, iters=iters, repeats=repeats)
+    net_us = max(res["us_per_iter"] - base["us_per_iter"],
+                 res["us_per_iter"] * 0.2)
+    bfly_per_dispatch = K * r * half
+    out = {
+        "butterflies_per_sec": bfly_per_dispatch / (net_us * 1e-6),
+        "raw_butterflies_per_sec": bfly_per_dispatch
+        / (res["us_per_iter"] * 1e-6),
+        "lane_gops": bfly_per_dispatch * ops_per_bfly / (net_us * 1e-6) / 1e9,
+        "dispatch_us_per_op": base["us_per_iter"],
+        "us_per_pass": res["us_per_iter"] / K,
+        "reduction": reduction,
+        "r": r,
+        "buffer_mb": mb,
+    }
+    if cache:
+        _measured_vpu_cache[key] = out
+    return out
+
+
 def efficiency_report(seconds_per_transform: float, n: int, *,
                       device_kind: Optional[str] = None,
                       passes: int = 2, itemsize: int = 4,
-                      measured_peak_gbps: Optional[float] = None) -> dict:
+                      measured_peak_gbps: Optional[float] = None,
+                      measured_vpu_bfly: Optional[float] = None) -> dict:
     """Everything the reference's three plots derive, as one dict:
     throughput, butterfly rate, model GOPS (the 5.5 model), achieved HBM
     bandwidth, and efficiency vs the HBM roofline when the peak is known.
 
-    Two efficiency denominators are reported when available:
+    Three efficiency denominators are reported when available:
     ``hbm_efficiency`` vs the spec-sheet peak (comparable across
-    machines) and ``hbm_efficiency_measured`` vs a calibrated
-    measure_peak() number (honest on shared/partitioned chips)."""
+    machines), ``hbm_efficiency_measured`` vs a calibrated
+    measure_peak() number (honest on shared/partitioned chips), and
+    ``vpu_efficiency_measured`` vs a measure_vpu_peak() ideal-conditions
+    butterfly rate (the compute-side calibration — the binding one for
+    these kernels, DESIGN.md §2)."""
     t = seconds_per_transform
     rep = {
         "n": n,
@@ -151,4 +253,8 @@ def efficiency_report(seconds_per_transform: float, n: int, *,
     if measured_peak_gbps:
         rep["measured_hbm_gbps"] = measured_peak_gbps
         rep["hbm_efficiency_measured"] = rep["achieved_gbps"] / measured_peak_gbps
+    if measured_vpu_bfly:
+        rep["measured_vpu_bfly_per_sec"] = measured_vpu_bfly
+        rep["vpu_efficiency_measured"] = (rep["butterflies_per_sec"]
+                                          / measured_vpu_bfly)
     return rep

@@ -33,7 +33,7 @@ def main() -> int:
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     op = sys.argv[2] if len(sys.argv) > 2 else "fwd"
-    assert op in ("fwd", "inv")
+    assert op in ("fwd", "inv", "stream")
     log_n = 24
     n = 1 << log_n
     cfg = NTTConfig(field=field, log_n=log_n, rows_log2=12)
@@ -41,6 +41,52 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     a = rng.integers(0, field.p, n).astype(np.uint32)
+
+    if op == "stream":
+        # Past the HBM wall (VERDICT round-3 item 6): resident B=64 is
+        # RESOURCE_EXHAUSTED (in+out alone 8 GB), so bulk batches run as
+        # overlapping sub-batches through utils/streaming.stream_transform
+        # — upload(k+1) / compute(k) / download(k-1) ride a depth-2
+        # in-flight queue, the reference's FIFO overlap at a scale it
+        # never reached (src/aie2.py:28). Throughput is honest wall clock
+        # over the whole stream INCLUDING host<->device transfers (the
+        # tunnel makes those expensive; the JSON records what survives).
+        import time as _time
+
+        from ntt_aie_tpu.utils.streaming import stream_transform
+
+        sub = 16
+        total = max(B, 64)
+        chunks = total // sub
+        fns = plan.make_batched(sub)
+        batches = [rng.integers(0, field.p, (sub, n)).astype(np.uint32)
+                   for _ in range(chunks)]
+        batches[0][0] = a
+        # warm (compile) outside the timed region
+        next(iter(stream_transform(fns["fwd"], batches[:1])))
+        t0 = _time.perf_counter()
+        outs = list(stream_transform(fns["fwd"], batches, prefetch=2))
+        wall = _time.perf_counter() - t0
+        us_per_ntt = wall * 1e6 / total
+        from ntt_aie_tpu import native_oracle as native
+
+        want = np.asarray(native.ntt_dif(
+            a.astype(np.uint64), field.root_of_unity(n), field.p)
+        )[tw.bit_reverse_indices(n)]
+        ok = np.array_equal(
+            outs[0][0][plan.spectral_to_natural].astype(np.uint64), want)
+        gbf = (n // 2) * log_n / us_per_ntt / 1e3
+        print(json.dumps({
+            "metric": "streamed fwd NTT/s at n=2^24 (host<->device "
+                      "overlap past the HBM wall)",
+            "B_effective": total, "sub_batch": sub,
+            "us_per_ntt_wall": round(us_per_ntt, 1),
+            "ntts_per_sec": round(1e6 / us_per_ntt, 2),
+            "g_butterflies_per_sec": round(gbf, 1),
+            "gate": "PASS" if ok else "FAIL",
+        }))
+        return 0 if ok else 1
+
     if B == 1:
         fwd, inv = plan.fwd, plan.inv
         xs = jnp.asarray(a)

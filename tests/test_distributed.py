@@ -524,9 +524,10 @@ def test_nttcontext_distributed_goldilocks(mesh8, rng):
     assert np.array_equal(nspec.astype(object), want)
     assert np.array_equal(np.asarray(nctx.inverse(nspec)).reshape(-1), a)
 
-    # unsupported plan kwargs are a loud error
+    # unsupported plan kwargs are a loud error (wmat_factored became a
+    # supported GL kwarg in round 4; dp_axis stays context-unsupported)
     with pytest.raises(TypeError):
-        NTTContext(cfg, mesh=mesh8, wmat_factored=True).plan
+        NTTContext(cfg, mesh=mesh8, dp_axis="dp").plan
 
 
 def test_goldilocks_distributed_dp_axis(rng):
@@ -874,3 +875,55 @@ def test_goldilocks_distributed_pallas_dp_batch(rng):
     out = pal.fwd(pal.shard_input(ab))
     assert np.array_equal(u64(out), want)
     assert np.array_equal(u64(pal.inv(out)).reshape(B, -1), ab)
+
+
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_gl_distributed_wmat_factored_matches_full(mesh8, rng, engine):
+    """GL distributed factored mode (round 4): sqrt-size limb tables ride
+    pass 2 on the far side of the collective; default (None) resolves to
+    factored; outputs bit-identical to the full-matrix plan."""
+    from ntt_aie_tpu.ops import modops as M
+    from ntt_aie_tpu.parallel.fourstep import build_gl_distributed_plan
+
+    GLF = F.GOLDILOCKS
+    cfg = NTTConfig(field=GLF, log_n=10, rows_log2=5, num_shards=8)
+    kw = dict(engine=engine)
+    if engine == "pallas":
+        kw["interpret"] = True
+    v = rng.integers(0, 1 << 63, cfg.n, dtype=np.uint64) % np.uint64(GLF.p)
+    full = build_gl_distributed_plan(cfg, mesh8, wmat_factored=False, **kw)
+    assert not full.wmat_factored
+    fh, fl = full.fwd(full.shard_input(v))
+    want = M.gl_to_u64(np.asarray(fh).reshape(-1), np.asarray(fl).reshape(-1))
+    for C in (1, 2):
+        fac = build_gl_distributed_plan(cfg, mesh8, overlap_chunks=C, **kw)
+        assert fac.wmat_factored  # the distributed default is factored
+        gh, gl_ = fac.fwd(fac.shard_input(v))
+        got = M.gl_to_u64(np.asarray(gh).reshape(-1),
+                          np.asarray(gl_).reshape(-1))
+        assert np.array_equal(got, want), f"C={C} fwd"
+        bh, bl = fac.inv((gh, gl_))
+        back = M.gl_to_u64(np.asarray(bh).reshape(-1),
+                           np.asarray(bl).reshape(-1))
+        assert np.array_equal(back, v), f"C={C} roundtrip"
+
+
+def test_gl_distributed_factored_negacyclic(mesh8, rng):
+    """GL factored negacyclic: rank-1 psi limb operands vs the schoolbook
+    oracle (xla engine; the pallas rank-1 wiring is covered single-chip)."""
+    from ntt_aie_tpu.ops import modops as M
+    from ntt_aie_tpu.parallel.fourstep import build_gl_distributed_plan
+
+    GLF = F.GOLDILOCKS
+    cfg = NTTConfig(field=GLF, log_n=8, rows_log2=4, num_shards=8,
+                    negacyclic=True)
+    a = rng.integers(0, 1 << 63, cfg.n, dtype=np.uint64) % np.uint64(GLF.p)
+    b = rng.integers(0, 1 << 63, cfg.n, dtype=np.uint64) % np.uint64(GLF.p)
+    want = ref.schoolbook_negacyclic(a.astype(object), b.astype(object),
+                                     GLF.p)
+    plan = build_gl_distributed_plan(cfg, mesh8, engine="xla",
+                                     wmat_factored=True)
+    ch, cl = plan.negacyclic_polymul(plan.shard_input(a),
+                                     plan.shard_input(b))
+    got = M.gl_to_u64(np.asarray(ch).reshape(-1), np.asarray(cl).reshape(-1))
+    assert np.array_equal(got.astype(object), want.astype(object))

@@ -205,3 +205,35 @@ def test_gl_colpass_karatsuba_interpret(rng):
         sh, sl = school(h, l)
         assert np.array_equal(np.asarray(kh), np.asarray(sh)), d
         assert np.array_equal(np.asarray(kl), np.asarray(sl)), d
+
+
+def test_gl_wmat_factored_matches_full_interpret(rng):
+    """GL factored-twiddle plans (round 4: sqrt-size limb tables riding
+    pass 2) are bit-identical to the full-matrix plans — fwd, inverse
+    roundtrip, polymul — and record the mode on the Plan."""
+    from ntt_aie_tpu.goldilocks_plan import build_goldilocks_plan
+
+    cfg = NTTConfig(field=GL, log_n=10, rows_log2=4)  # (16, 64)
+    a = _rand(rng, cfg.n)
+    b = _rand(rng, cfg.n)
+    full = build_goldilocks_plan(cfg, engine="pallas", interpret=True,
+                                 wmat_factored=False)
+    fac = build_goldilocks_plan(cfg, engine="pallas", interpret=True,
+                                wmat_factored=True)
+    assert fac.wmat_factored and not full.wmat_factored
+    # xla engine silently downgrades (factored is a pallas kernel mode)
+    assert not build_goldilocks_plan(cfg, engine="xla",
+                                     wmat_factored=True).wmat_factored
+    want = np.asarray(full.fwd(a))
+    got = np.asarray(fac.fwd(a))
+    assert np.array_equal(got, want)
+    assert np.array_equal(np.asarray(fac.inv(got)), a)
+    assert np.array_equal(np.asarray(fac.polymul(a, b)),
+                          np.asarray(full.polymul(a, b)))
+    # batched kernels share the factored wiring
+    bf = fac.make_batched(2)
+    xs = np.stack([a, b])
+    got_b = np.asarray(bf["fwd"](xs))
+    want_b = np.stack([want, np.asarray(full.fwd(b))])
+    assert np.array_equal(got_b, want_b)
+    assert np.array_equal(np.asarray(bf["inv"](got_b)), xs)

@@ -81,15 +81,44 @@ def test_disk_cache_survives_garbage_file(tmp_path, monkeypatch):
     _assert_same_tables(tabs, tw._build_fourstep_tables(FIELD, 16, 8))
 
 
-def test_goldilocks_memo_only_no_disk(tmp_path, monkeypatch):
+def test_goldilocks_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """GL tables cache on disk since round 4 (uint64 is exact for storage;
+    only the arithmetic needs wide math)."""
     monkeypatch.setenv("NTT_AIE_TPU_TABLE_CACHE", str(tmp_path))
-    assert tw._fourstep_cache_path(F.GOLDILOCKS, 32, 16) is None
+    assert tw._fourstep_cache_path(F.GOLDILOCKS, 32, 16) is not None
     t1 = tw.fourstep_tables(F.GOLDILOCKS, 32, 16)
     assert tw.fourstep_tables(F.GOLDILOCKS, 32, 16) is t1
-    assert list(tmp_path.glob("*.npz")) == []
-    # Object-array values still exact Python ints after the memo freeze.
+    assert len(list(tmp_path.glob("*.npz"))) == 1
+    tw._FOURSTEP_MEMO.clear()
+    loaded = tw.fourstep_tables(F.GOLDILOCKS, 32, 16)
+    _assert_same_tables(t1, loaded)
     ref = tw._build_fourstep_tables(F.GOLDILOCKS, 32, 16)
-    assert np.array_equal(t1["wmat"], ref["wmat"])
+    _assert_same_tables(loaded, ref)
+    assert loaded["wmat"].dtype == np.uint64
+
+
+def test_gl_mulmod_vec_matches_native_oracle():
+    """The vectorized host Goldilocks mulmod (the round-4 table-build
+    engine) is bit-exact vs the native C++ scalar oracle, incl. edges."""
+    pytest.importorskip("ctypes")
+    from ntt_aie_tpu import native_oracle as native
+
+    try:
+        native.load()
+    except native.NativeOracleUnavailable:
+        pytest.skip("native oracle unavailable")
+    p = F.GOLDILOCKS.p
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1 << 64, 500, dtype=np.uint64) % np.uint64(p)
+    b = rng.integers(0, 1 << 64, 500, dtype=np.uint64) % np.uint64(p)
+    edges = np.array([0, 1, p - 1, p - 2, 1 << 32, (1 << 32) - 1,
+                      (1 << 63) % p], dtype=np.uint64)
+    a = np.concatenate([a, edges, edges])
+    b = np.concatenate([b, edges, edges[::-1]])
+    got = tw._gl_mulmod_vec(a, b)
+    want = np.array([native.goldilocks_mulmod(int(x), int(y))
+                     for x, y in zip(a, b)], dtype=np.uint64)
+    assert np.array_equal(got, want)
 
 
 def test_plans_tolerate_readonly_tables():
