@@ -233,7 +233,10 @@ def build_gl_colpass(
         elif interpret:
             FUSE = 1
         elif direction == "dif":
-            FUSE = 3
+            # nested full-occupancy phases: f2 ~= f5 < f1 < f3 (round-4
+            # rescan, scan_nested_fuse.py — the old f3 default is the
+            # WORST choice under nesting); plain columns keep f3.
+            FUSE = 2 if nested else 3
         else:
             FUSE = 7 if dit_net == "parts" else 1
 

@@ -56,14 +56,22 @@ def apply_wfac_arrays(x, t1s, t2s, red: Reduction):
     return xr.reshape(rr, cc)
 
 
-def default_fuse(direction: str) -> int:
-    """Measured-optimal radix-2^K group size per butterfly direction
-    (v5e, B=64, n1=1024, harvey4 — DESIGN.md §3): K=3 for DIF (4+ spills
-    vregs in the whole-half-vectorized net), K=5 for the parts-form DIT
-    net, whose per-leaf ops keep register pressure flat so deeper fusion
-    keeps buying fewer group concats (f3 8086 -> f5 6554 us/pass; f7
-    edges 2% lower at much higher compile time — not worth it)."""
-    return 5 if direction == "dit" else 3
+def default_fuse(direction: str, nested: bool = False) -> int:
+    """Measured-optimal radix-2^K group size per butterfly direction.
+
+    Plain columns (v5e, B=64, n1=1024, harvey4 — DESIGN.md §3): K=3 for
+    DIF (4+ spills vregs in the whole-half-vectorized net), K=5 for the
+    parts-form DIT net, whose per-leaf ops keep register pressure flat.
+
+    Nested columns (round-4 rescan, scripts/scan_nested_fuse.py, one
+    session, B=64): full occupancy flips the DIF economics — per-stage
+    radix-2 (K=1) beats K=3 by ~14% (71.7 vs 83.4 us/NTT-share; the
+    concats are cheap full-vreg copies while the deep recursion costs
+    registers). DIT stays parts K=5 (4680 ~= tree K=4's 4669, parts
+    keeps the lazy-subtree domains)."""
+    if direction == "dit":
+        return 5
+    return 1 if nested else 3
 
 
 def run_stages(x, tws: list, direction: str, red: Reduction, *,
@@ -232,6 +240,8 @@ def run_col_network(x, tws, direction: str, red: Reduction, *,
     tws: per-stage table tuples for ALL phases in order; mid_vals: the
     wmid table tuple ((nn, 1) values) or None; rs: (R, S)."""
     nn, c_ = x.shape
+    if fuse is None:
+        fuse = default_fuse(direction, nested=mid_vals is not None)
     if mid_vals is None:
         return run_stages(x, tws, direction, red, fuse=fuse,
                           dit_net=dit_net, ts=list(phases_ts[0]))
