@@ -35,8 +35,11 @@ def main() -> int:
     ys = jnp.asarray(rng.integers(0, field.p, (B, n)).astype(np.uint32))
 
     out = {"B": B, "log_n": log_n}
+    res = time_device(bat["fwd"], xs, iters=10, repeats=5)
+    out["fwd_us_per_ntt"] = round(res["us_per_iter"] / B, 1)
     res = time_device(bat["inv"], xs, iters=10, repeats=5)
     out["inv_us_per_ntt"] = round(res["us_per_iter"] / B, 1)
+    out["inv_over_fwd"] = round(out["inv_us_per_ntt"] / out["fwd_us_per_ntt"], 3)
     res = time_device(lambda a: bat["polymul"](a, ys), xs, iters=10, repeats=5)
     out["polymul_us_per_poly"] = round(res["us_per_iter"] / B, 1)
 
