@@ -389,6 +389,26 @@ def cmd_trace(args) -> int:
         method = "marker_pairs"
     for row in rows:
         print(f"  {row['total_us']:10.2f} us  {row['op']}")
+    derived = []
+    if method == "profiler" and op in ("fwd", "inv"):
+        from ntt_aie_tpu.profiling.roofline import derive_trace_counters
+
+        # The wmat pre-multiply rides the SECOND executed pass in both
+        # directions (cp2 / icp1, plan.py); full-matrix mode streams 2
+        # extra n-sized tables there (packed Shoup halves for harvey4,
+        # hi/lo limb planes for GL); factored tables are ~sqrt-size.
+        wmat_bytes = 0 if args.wmat_factored else 2 * cfg.n * 4
+        derived = derive_trace_counters(
+            rows, n=cfg.n, itemsize=8 if big else 4,
+            pass_table_bytes=(0, wmat_bytes),
+            vpu_bfly=0 if big else None)  # no measured GL limb ideal yet
+        for d in derived:
+            comp = (f"({d['vpu_utilization']:.0%} of calibrated VPU ideal), "
+                    if "vpu_utilization" in d else "")
+            print(f"  derived {d['op']}: {d['gbf_per_sec']} Gbf/s {comp}"
+                  f"{d['achieved_gbps']} GB/s "
+                  f"({d['hbm_utilization']:.0%} of calibrated HBM)"
+                  + (f" -> {d['bound']}-bound" if "bound" in d else ""))
     if args.summary_out:
         import jax
 
@@ -400,8 +420,11 @@ def cmd_trace(args) -> int:
             "engine": plan.engine,
             "device_kind": jax.devices()[0].device_kind,
             "backend": jax.default_backend(),
+            "wmat_factored": bool(args.wmat_factored),
             "ops": rows,
         }
+        if derived:
+            payload["derived"] = derived
         os.makedirs(os.path.dirname(args.summary_out) or ".", exist_ok=True)
         with open(args.summary_out, "w") as f:
             json.dump(payload, f, indent=1)

@@ -220,6 +220,88 @@ def measure_vpu_peak(*, reduction: str = "harvey4", mb: int = 32,
     return out
 
 
+# Calibration measured on the build machine's partitioned v5e (DESIGN.md
+# §1, 2026-08): offline defaults for derived trace counters when a live
+# measure_peak()/measure_vpu_peak() isn't run (e.g. decoding a committed
+# trace on a different host). Sessions vary; derived planes cite these.
+MEASURED_CAL_V5E_PARTITION = {
+    "hbm_gbps": 700.0,          # marginal, dispatch-amortized (round 2)
+    "vpu_bfly_per_sec": 245e9,  # midpoint of the 221-273 Gbf/s ideal (r4)
+}
+
+_MOVEMENT_PREFIXES = (
+    "copy", "reshape", "slice", "convert", "transpose", "broadcast",
+    "concatenate", "dynamic", "bitcast", "tuple", "all-", "collective",
+)
+
+
+def derive_trace_counters(rows: list[dict], *, n: int, batch: int = 1,
+                          itemsize: int = 4,
+                          stages_per_pass: Optional[int] = None,
+                          pass_table_bytes: tuple = (0, 0),
+                          hbm_gbps: Optional[float] = None,
+                          vpu_bfly: Optional[float] = None) -> list[dict]:
+    """Derived utilization planes for a fwd/inv trace summary — the TPU
+    analog of the reference decoder's per-event labels
+    (reference scripts/parse_trace.py:755-783: VectorInstr, PortRunning,
+    stall classes). XProf exposes op-level device times, not intra-kernel
+    HW events, so the derived planes are per PASS: achieved butterfly
+    rate vs the calibrated ideal-conditions VPU rate (compute
+    utilization — the VectorInstr analog) and achieved HBM bandwidth vs
+    the calibrated streaming peak (the PortRunning analog).
+
+    rows: summarize_trace output. The two fused column passes are the two
+    largest single-count device ops that are neither the jit wrapper nor
+    data movement. Returns [] when no two pass ops are found (e.g. a
+    marker-pair fallback summary).
+
+    pass_table_bytes: extra HBM bytes per pass beyond the 2*n*itemsize
+    read+write (twiddle-matrix operands), in TIME order (pass 1, pass 2).
+    Denominators default to the build machine's measured calibration
+    (MEASURED_CAL_V5E_PARTITION) — pass live values to override, or
+    vpu_bfly=0 to omit the VPU plane (the calibrated ideal is
+    harvey4-specific; Goldilocks limb butterflies have no measured
+    ideal yet, so their compute plane would be dishonest)."""
+    cand = [
+        r for r in rows
+        if r.get("count") == 1
+        and not r["op"].startswith("jit_")
+        and not r["op"].startswith(_MOVEMENT_PREFIXES)
+        and "fusion" not in r["op"]
+    ]
+    cand = sorted(cand, key=lambda r: -r["total_us"])[:2]
+    if len(cand) < 2:
+        return []
+    # Earlier-numbered XLA op suffix = earlier in the program = pass 1.
+    cand.sort(key=lambda r: r["op"])
+    hbm = hbm_gbps or MEASURED_CAL_V5E_PARTITION["hbm_gbps"]
+    vpu = (vpu_bfly if vpu_bfly is not None
+           else MEASURED_CAL_V5E_PARTITION["vpu_bfly_per_sec"])
+    stages = stages_per_pass or (int(math.log2(n)) // 2)
+    bfly_pass = batch * (n // 2) * stages
+    out = []
+    for i, r in enumerate(cand):
+        t = r["total_us"] * 1e-6
+        data_bytes = batch * 2 * n * itemsize + pass_table_bytes[i]
+        gbf = bfly_pass / t / 1e9
+        gbps = data_bytes / t / 1e9
+        d = {
+            "op": r["op"],
+            "us": r["total_us"],
+            "butterflies": bfly_pass,
+            "gbf_per_sec": round(gbf, 2),
+            "hbm_bytes": data_bytes,
+            "achieved_gbps": round(gbps, 2),
+            "hbm_utilization": round(gbps / hbm, 4),
+        }
+        if vpu:
+            d["vpu_utilization"] = round(gbf * 1e9 / vpu, 4)
+            d["bound"] = ("vpu" if gbf * 1e9 / vpu >= gbps / hbm
+                          else "hbm")
+        out.append(d)
+    return out
+
+
 def efficiency_report(seconds_per_transform: float, n: int, *,
                       device_kind: Optional[str] = None,
                       passes: int = 2, itemsize: int = 4,

@@ -231,3 +231,44 @@ def test_stream_transform_pipeline(rng):
     assert len(got) == 5
     for x, y in zip(batches, got):
         assert np.array_equal(y, np.asarray(fwd(jnp.asarray(x))))
+
+
+def test_derive_trace_counters():
+    """Derived utilization planes from a trace summary: pass-op selection
+    (skip the jit wrapper and data movement), program-order assignment of
+    per-pass table bytes, and the VPU plane's opt-out (Goldilocks has no
+    measured limb ideal)."""
+    from ntt_aie_tpu.profiling.roofline import (
+        MEASURED_CAL_V5E_PARTITION, derive_trace_counters,
+    )
+
+    n = 1 << 20
+    rows = [
+        {"op": "jit_fwd_fn(123)", "total_us": 70.0, "count": 1},
+        {"op": "fwd_fn.3", "total_us": 30.0, "count": 1},
+        {"op": "fwd_fn.2", "total_us": 20.0, "count": 1},
+        {"op": "copy", "total_us": 8.0, "count": 1},
+        {"op": "reshape.2", "total_us": 6.0, "count": 1},
+    ]
+    d = derive_trace_counters(rows, n=n, pass_table_bytes=(0, 2 * n * 4))
+    assert [r["op"] for r in d] == ["fwd_fn.2", "fwd_fn.3"]  # program order
+    stages = 10  # log2(n) // 2 per four-step pass
+    bf = (n // 2) * stages
+    assert d[0]["butterflies"] == bf
+    assert d[0]["hbm_bytes"] == 2 * n * 4            # read+write only
+    assert d[1]["hbm_bytes"] == 2 * n * 4 + 2 * n * 4  # + wmat tables
+    got = d[0]["gbf_per_sec"]
+    want = bf / 20e-6 / 1e9
+    assert abs(got - want) / want < 1e-3
+    assert abs(d[0]["vpu_utilization"]
+               - got * 1e9 / MEASURED_CAL_V5E_PARTITION["vpu_bfly_per_sec"]) < 1e-3
+    assert d[0]["bound"] in ("vpu", "hbm")
+
+    # vpu_bfly=0 omits the compute plane (GL traces)
+    d = derive_trace_counters(rows, n=n, itemsize=8, vpu_bfly=0)
+    assert "vpu_utilization" not in d[0] and "bound" not in d[0]
+    assert d[0]["hbm_bytes"] == 2 * n * 8
+
+    # no two pass ops -> no derived planes (marker-pair fallback shape)
+    assert derive_trace_counters(
+        [{"op": "forward_ntt", "total_us": 10.0, "count": 20}], n=n) == []
