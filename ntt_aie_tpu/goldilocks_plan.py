@@ -252,22 +252,32 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
 
             def make_batched_cores(B):
                 """Dedicated batch-grid kernels (shared tables fetched once
-                per lane-slab, like the 32-bit plan's batched path)."""
+                per lane-slab, like the 32-bit plan's batched path). Also
+                returns the matrix-form cores (no flat<->2D boundary
+                retile; see plan.py's batched_builder comment — the retile
+                costs ~30% of the chained flat pipeline on TPU, and GL
+                pays it twice, once per limb plane)."""
                 cp1b, cp2b, icp2b, icp1b = _mk_passes_gl(B)
+                bsh = (n1, n2) if B == 1 else (B, n1, n2)
+                ish = (n2, n1) if B == 1 else (B, n2, n1)
+
+                def fwd2d_b(h, l):
+                    h, l = cp1b(h.reshape(bsh), l.reshape(bsh))
+                    return cp2b(h, l)
+
+                def inv2d_b(h, l):
+                    h, l = icp2b(h.reshape(ish), l.reshape(ish))
+                    return icp1b(h, l)
 
                 def fwd_b(h, l):
-                    sh = (n1, n2) if B == 1 else (B, n1, n2)
-                    h, l = cp1b(h.reshape(sh), l.reshape(sh))
-                    h, l = cp2b(h, l)
+                    h, l = fwd2d_b(h, l)
                     return h.reshape(B, n), l.reshape(B, n)
 
                 def inv_b(h, l):
-                    sh = (n2, n1) if B == 1 else (B, n2, n1)
-                    h, l = icp2b(h.reshape(sh), l.reshape(sh))
-                    h, l = icp1b(h, l)
+                    h, l = inv2d_b(h, l)
                     return h.reshape(B, n), l.reshape(B, n)
 
-                return fwd_b, inv_b
+                return fwd_b, inv_b, fwd2d_b, inv2d_b
 
         else:
             col1 = gl_col_transform(field, n1, direction="dif")
@@ -312,7 +322,8 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
         def make_batched_cores(B):
             """Batch-to-lanes: (B, n) limb batches transpose to (n, B) so
             the batch rides the 128-lane axis through the stage loops
-            (mirrors plan.py's flat batched layout)."""
+            (mirrors plan.py's flat batched layout). No matrix-form cores:
+            the flat split has no 2D boundary to skip."""
 
             def fwd_b(h, l):
                 oh, ol = gl_dif_stages(h.reshape(B, n).T, l.reshape(B, n).T,
@@ -325,7 +336,7 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
                 oh, ol = M.gl_mul(oh, ol, sh.reshape(1, 1), sl.reshape(1, 1))
                 return oh.T, ol.T
 
-            return jax.jit(fwd_b), jax.jit(inv_b)
+            return jax.jit(fwd_b), jax.jit(inv_b), None, None
 
     # _fwd/_inv bind the spectral-order callables now, before the natural-
     # ordering wrappers rebind fwd_core/inv_core below (pointwise products
@@ -394,19 +405,33 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
         return call
 
     def batched_builder(B):
+        fwd2d_b = inv2d_b = None
         if make_batched_cores is not None:
-            bfwd_core, binv_core = make_batched_cores(B)
+            bfwd_core, binv_core, fwd2d_b, inv2d_b = make_batched_cores(B)
 
             # gl_mul is ~70 elementwise lane-ops: dispatched eagerly
             # between the compiled passes it costs ~70 tunnel round trips
             # per call (the plan.py _pointwise lesson); jit it.
             jgl_mul = jax.jit(M.gl_mul)
 
-            def bmul_core(ah, al, bh, bl):
-                fah, fal = bfwd_core(ah, al)
-                fbh, fbl = bfwd_core(bh, bl)
-                ch, cl = jgl_mul(fah, fal, fbh, fbl)
-                return binv_core(ch, cl)
+            if fwd2d_b is not None:
+                # stay in matrix form through the pointwise product — the
+                # flat roundtrips between passes are pure retile churn
+                def bmul2d_core(ah, al, bh, bl):
+                    fah, fal = fwd2d_b(ah, al)
+                    fbh, fbl = fwd2d_b(bh, bl)
+                    ch, cl = jgl_mul(fah, fal, fbh, fbl)
+                    return inv2d_b(ch, cl)
+
+                def bmul_core(ah, al, bh, bl):
+                    h, l = bmul2d_core(ah, al, bh, bl)
+                    return h.reshape(B, n), l.reshape(B, n)
+            else:
+                def bmul_core(ah, al, bh, bl):
+                    fah, fal = bfwd_core(ah, al)
+                    fbh, fbl = bfwd_core(bh, bl)
+                    ch, cl = jgl_mul(fah, fal, fbh, fbl)
+                    return binv_core(ch, cl)
 
             bfwd, binv, bmul = bfwd_core, binv_core, bmul_core
         else:
@@ -428,11 +453,23 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
                 return raw_binv(jnp.take(h, inv_perm, axis=1),
                                 jnp.take(l, inv_perm, axis=1))
 
-        return {
+        out = {
             "fwd": _wrap1(lambda hl: bfwd(*hl)),
             "inv": _wrap1(lambda hl: binv(*hl)),
             "polymul": _wrap2(lambda a, b: bmul(*a, *b)),
         }
+        if fwd2d_b is not None:
+            # matrix-form callables (plan.py contract: fwd_mat (B, n1, n2)
+            # natural-layout -> (B, n2, n1) spectral, inv_mat converse,
+            # polymul_mat layout-safe), over uint64 or (hi, lo) operands
+            out["polymul_mat"] = _wrap2(lambda a, b: tuple(
+                z.reshape(B, n1, n2) for z in bmul2d_core(*a, *b)))
+            if config.ordering == "bitrev":
+                out["fwd_mat"] = _wrap1(lambda hl: tuple(
+                    z.reshape(B, n2, n1) for z in fwd2d_b(*hl)))
+                out["inv_mat"] = _wrap1(lambda hl: tuple(
+                    z.reshape(B, n1, n2) for z in inv2d_b(*hl)))
+        return out
 
     return Plan(
         config=config,

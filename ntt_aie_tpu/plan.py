@@ -62,6 +62,13 @@ class Plan:
     # uint32 arrays. Throughput path: batching amortizes per-dispatch and
     # per-kernel-launch latency (the dominant cost for single transforms on
     # a tunneled chip) and widens the lane dimension.
+    # Pallas four-step plans also carry matrix-form callables that skip
+    # the flat<->2D boundary retile (~30% of the chained flat pipeline on
+    # TPU, scripts/bench_matform.py): `fwd_mat` (B, n1, n2) natural-layout
+    # -> (B, n2, n1) spectral and `inv_mat` its converse (spectral-order
+    # plans only), plus layout-safe `polymul_mat`/`negacyclic_polymul_mat`
+    # over (B, n1, n2) operands. Row-major flattening of a matrix-form
+    # array equals the corresponding flat callable's vector bit-exactly.
     _batched_builder: Optional[Callable] = None
     _batched_cache: dict = dataclasses.field(default_factory=dict)
 
@@ -270,26 +277,48 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             inv_poly_fn = lambda a: fip(a.astype(jnp.uint32).reshape(n2, n1)).reshape(n)  # noqa: E731
 
         def batched_builder(B):
+            # On TPU the flat (B, n) <-> (B, n1, n2) boundary reshape is a
+            # PHYSICAL retile (the last dim is the lane axis), measured at
+            # ~30% of the chained pipeline at n=2^20 B=256
+            # (scripts/bench_matform.py, DESIGN.md §3). The builders
+            # therefore (a) keep every internal composition in matrix form
+            # — polymul's pointwise product is elementwise, so it runs on
+            # the (.., n2, n1) spectral matrices directly — and (b) expose
+            # matrix-form callables (`fwd_mat` etc.) so device-resident
+            # serving pipelines never pay the retile at all. Contract:
+            # fwd_mat (B, n1, n2) natural-layout -> (B, n2, n1) spectral
+            # (row-major flattening = the flat spectral vector); inv_mat is
+            # the exact converse; polymul_mat maps natural-layout operands
+            # to a natural-layout product.
+            bsh = (n1, n2) if B == 1 else (B, n1, n2)
+            ish = (n2, n1) if B == 1 else (B, n2, n1)
             if fused_ok:
                 ffb = _mk_fused(B, wmid=wmid_fwd)
                 fib = _mk_fused(B, wmid=iwmat_scaled, inverse=True)
                 fipb = _mk_fused(B, wmid=iwmat_poly, inverse=True)
-                bsh = (n1, n2) if B == 1 else (B, n1, n2)
-                ish = (n2, n1) if B == 1 else (B, n2, n1)
 
-                def fwd_b(a, _f=ffb):
-                    return _f(_u32cast(a).reshape(bsh)).reshape(B, n)
+                def fwd2d_b(a, _f=ffb):
+                    return _f(_u32cast(a).reshape(bsh))
 
-                def inv_b(a, _f=fib):
-                    return _f(_u32cast(a).reshape(ish)).reshape(B, n)
+                def inv2d_b(a, _f=fib):
+                    return _f(_u32cast(a).reshape(ish))
 
-                def polymul_b(a, b, _fwd=fwd_b):
-                    fa = _fwd(a)
-                    fb = _fwd(b)
-                    fc = _pointwise(fa, fb)
-                    return fipb(_u32cast(fc).reshape(ish)).reshape(B, n)
+                def fwd_b(a):
+                    return fwd2d_b(a).reshape(B, n)
 
-                out = {"polymul": polymul_b}
+                def inv_b(a):
+                    return inv2d_b(a).reshape(B, n)
+
+                def _poly_core(a, b):
+                    fc = _pointwise(fwd2d_b(a), fwd2d_b(b))
+                    return fipb(fc)
+
+                def polymul_b(a, b):
+                    return _poly_core(a, b).reshape(B, n)
+
+                out = {"polymul": polymul_b,
+                       "polymul_mat":
+                       lambda a, b: _poly_core(a, b).reshape(B, n1, n2)}
                 if config.negacyclic:
                     psi_m = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
                     psi_im = tw.negacyclic_psi_powers(
@@ -298,13 +327,22 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                     nib = _mk_fused(B, wmid=iwmat_poly, inverse=True,
                                     post=psi_im)
 
+                    def _nega_core(a, b):
+                        fa = nfb(_u32cast(a).reshape(bsh))
+                        fb = nfb(_u32cast(b).reshape(bsh))
+                        return nib(_pointwise(fa, fb))
+
                     def nega_b(a, b):
-                        fa = nfb(_u32cast(a).reshape(bsh)).reshape(B, n)
-                        fb = nfb(_u32cast(b).reshape(bsh)).reshape(B, n)
-                        fc = _pointwise(fa, fb)
-                        return nib(_u32cast(fc).reshape(ish)).reshape(B, n)
+                        return _nega_core(a, b).reshape(B, n)
 
                     out["negacyclic_polymul"] = nega_b
+                    out["negacyclic_polymul_mat"] = (
+                        lambda a, b: _nega_core(a, b).reshape(B, n1, n2))
+                if config.ordering == "bitrev":
+                    # spectral-order plans only: a natural-order flat
+                    # permutation has no cheap matrix-form equivalent
+                    out["fwd_mat"] = lambda a: fwd2d_b(a).reshape(B, n2, n1)
+                    out["inv_mat"] = lambda a: inv2d_b(a).reshape(B, n1, n2)
                 if config.ordering == "natural":
                     raw_fwd_bf, raw_inv_bf = fwd_b, inv_b
                     fwd_b = lambda a: jnp.take(raw_fwd_bf(a), perm, axis=1)  # noqa: E731
@@ -316,30 +354,42 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             cp1b, cp2b, icp2b, icp2pb, icp1b, icp1pb = _mk_passes(B)
 
             # B == 1 builds the unbatched 2-D kernels (no batch grid axis),
-            # so the reshape must drop the leading dim in that case.
+            # so the entry reshape (bsh/ish above) drops the leading dim in
+            # that case. Internal compositions stay in matrix form — the
+            # column passes chain 2D -> 2D, so only the flat API boundary
+            # pays the retile (see the fused-branch comment).
+            def fwd2d_b(a):
+                return cp2b(cp1b(_u32cast(a).reshape(bsh)))
+
+            def inv2d_core(a, icp2_, icp):
+                return icp(icp2_(_u32cast(a).reshape(ish)))
+
             def fwd_b(a):
-                x = _u32cast(a).reshape((n1, n2) if B == 1 else (B, n1, n2))
-                return cp2b(cp1b(x)).reshape(B, n)
+                return fwd2d_b(a).reshape(B, n)
 
-            def inv_b_core(a, icp2_, icp):
-                x = _u32cast(a).reshape((n2, n1) if B == 1 else (B, n2, n1))
-                return icp(icp2_(x)).reshape(B, n)
+            # polymul composes the raw spectral-order passes directly (the
+            # natural-ordering wrapper below only rebinds the fwd_b/inv_b
+            # names): pointwise products are order-agnostic and run on the
+            # spectral matrices with no intermediate flattening.
+            def _poly_core(a, b):
+                fc = _pointwise(fwd2d_b(a), fwd2d_b(b))
+                return icp1pb(icp2pb(fc))
 
-            # _fwd early-binds the raw spectral-order fwd_b: the natural-
-            # ordering wrapper rebinds the fwd_b NAME below, and pointwise
-            # products must run in spectral order (same trick as polymul_fn)
-            def polymul_b(a, b, _fwd=fwd_b):
-                fa = _fwd(a)
-                fb = _fwd(b)
-                fc = _pointwise(fa, fb)
-                return inv_b_core(fc, icp2pb, icp1pb)
+            def polymul_b(a, b):
+                return _poly_core(a, b).reshape(B, n)
 
             # NOT jit-wrapped: on the tunneled axon backend an explicit jit
             # wrapper around pallas custom-calls adds ~28 ms per dispatch
             # (remote-compile round trip); the bare composition dispatches
             # each kernel through the fast path. Callers can still jit.
-            inv_b = lambda a: inv_b_core(a, icp2b, icp1b)  # noqa: E731
-            out = {"polymul": polymul_b}
+            inv_b = lambda a: inv2d_core(a, icp2b, icp1b).reshape(B, n)  # noqa: E731
+            out = {"polymul": polymul_b,
+                   "polymul_mat":
+                   lambda a, b: _poly_core(a, b).reshape(B, n1, n2)}
+            if config.ordering == "bitrev":
+                out["fwd_mat"] = lambda a: fwd2d_b(a).reshape(B, n2, n1)
+                out["inv_mat"] = (
+                    lambda a: inv2d_core(a, icp2b, icp1b).reshape(B, n1, n2))
             if config.negacyclic:
                 if wfac_on:
                     # rank-1 psi operands (1-D vectors instead of the
@@ -375,15 +425,17 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                                              canonicalize=True, batch=B,
                                              interpret=interpret)
 
+                def _nega_core(a, b):
+                    fa = cp2b(ncp1b(_u32cast(a).reshape(bsh)))
+                    fb = cp2b(ncp1b(_u32cast(b).reshape(bsh)))
+                    return nicp1b(icp2pb(_pointwise(fa, fb)))
+
                 def nega_b(a, b):
-                    sh = (n1, n2) if B == 1 else (B, n1, n2)
-                    fa = cp2b(ncp1b(_u32cast(a).reshape(sh))).reshape(B, n)
-                    fb = cp2b(ncp1b(_u32cast(b).reshape(sh))).reshape(B, n)
-                    fc = _pointwise(fa, fb)
-                    ish = (n2, n1) if B == 1 else (B, n2, n1)
-                    return nicp1b(icp2pb(fc.reshape(ish))).reshape(B, n)
+                    return _nega_core(a, b).reshape(B, n)
 
                 out["negacyclic_polymul"] = nega_b
+                out["negacyclic_polymul_mat"] = (
+                    lambda a, b: _nega_core(a, b).reshape(B, n1, n2))
             if config.ordering == "natural":
                 # honor the ordering wrapper exactly like the unbatched
                 # callables (perm/inv_perm bound below, before any call)

@@ -237,3 +237,32 @@ def test_gl_wmat_factored_matches_full_interpret(rng):
     want_b = np.stack([want, np.asarray(full.fwd(b))])
     assert np.array_equal(got_b, want_b)
     assert np.array_equal(np.asarray(bf["inv"](got_b)), xs)
+
+
+def test_gl_matrix_form_callables(rng):
+    """GL matrix-form batched callables match the flat contract under
+    row-major (un)flattening (plan.py layout contract; GL pays the flat
+    boundary retile once per limb plane, so the skip matters double)."""
+    from ntt_aie_tpu.goldilocks_plan import build_goldilocks_plan
+
+    cfg = NTTConfig(field=GL, log_n=9, rows_log2=4)
+    plan = build_goldilocks_plan(cfg, engine="pallas", interpret=True)
+    n1, n2 = cfg.split
+    B = 2
+    bat = plan.make_batched(B)
+    a = np.stack([_rand(rng, cfg.n) for _ in range(B)])
+    b = np.stack([_rand(rng, cfg.n) for _ in range(B)])
+
+    fm = np.asarray(bat["fwd_mat"](a.reshape(B, n1, n2)))
+    assert fm.shape == (B, n2, n1)
+    flat = np.asarray(bat["fwd"](a))
+    assert np.array_equal(fm.reshape(B, cfg.n), flat)
+
+    im = np.asarray(bat["inv_mat"](fm))
+    assert im.shape == (B, n1, n2)
+    assert np.array_equal(im.reshape(B, cfg.n), a)
+
+    pm = np.asarray(bat["polymul_mat"](a.reshape(B, n1, n2),
+                                       b.reshape(B, n1, n2)))
+    assert np.array_equal(pm.reshape(B, cfg.n),
+                          np.asarray(bat["polymul"](a, b)))

@@ -655,3 +655,64 @@ def test_dit_nets_match_across_fuse(rng):
             outs.append(np.asarray(cp(x)))
         for o in outs[1:]:
             assert np.array_equal(o, outs[0]), (red,)
+
+
+def test_matrix_form_callables(rng):
+    """Matrix-form batched callables (fwd_mat/inv_mat/polymul_mat) are
+    bit-identical to the flat contract under row-major (un)flattening —
+    they exist to skip the flat<->2D boundary retile (a physical lane-axis
+    retile on TPU, ~30% of the chained flat pipeline; DESIGN.md §3)."""
+    from ntt_aie_tpu.plan import build_plan
+
+    field = F.P_469762049
+    for fused, B in ((False, 3), (False, 1), (True, 2)):
+        cfg = NTTConfig(field=field, log_n=10, rows_log2=5)
+        plan = build_plan(cfg, engine="pallas", interpret=True, fused=fused)
+        n1, n2 = cfg.split
+        bat = plan.make_batched(B)
+        a = rng.integers(0, field.p, (B, cfg.n)).astype(np.uint32)
+        b = rng.integers(0, field.p, (B, cfg.n)).astype(np.uint32)
+        am = jnp.asarray(a.reshape(B, n1, n2))
+
+        fm = np.asarray(bat["fwd_mat"](am))
+        assert fm.shape == (B, n2, n1), (fused, B)
+        flat = np.asarray(bat["fwd"](jnp.asarray(a)))
+        assert np.array_equal(fm.reshape(B, cfg.n), flat), (fused, B)
+
+        im = np.asarray(bat["inv_mat"](jnp.asarray(fm)))
+        assert im.shape == (B, n1, n2)
+        assert np.array_equal(im.reshape(B, cfg.n), a), (fused, B)
+
+        pm = np.asarray(bat["polymul_mat"](am, jnp.asarray(
+            b.reshape(B, n1, n2))))
+        assert pm.shape == (B, n1, n2)
+        pflat = np.asarray(bat["polymul"](jnp.asarray(a), jnp.asarray(b)))
+        assert np.array_equal(pm.reshape(B, cfg.n), pflat), (fused, B)
+
+
+def test_matrix_form_negacyclic_and_natural_gating(rng):
+    """negacyclic_polymul_mat matches the flat negacyclic product; natural-
+    ordering plans expose the layout-safe polymul_mat but NOT fwd_mat (a
+    flat permutation has no cheap matrix-form equivalent)."""
+    from ntt_aie_tpu.plan import build_plan
+
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=9, rows_log2=4, negacyclic=True)
+    plan = build_plan(cfg, engine="pallas", interpret=True)
+    n1, n2 = cfg.split
+    B = 2
+    bat = plan.make_batched(B)
+    a = rng.integers(0, field.p, (B, cfg.n)).astype(np.uint32)
+    b = rng.integers(0, field.p, (B, cfg.n)).astype(np.uint32)
+    gm = np.asarray(bat["negacyclic_polymul_mat"](
+        jnp.asarray(a.reshape(B, n1, n2)), jnp.asarray(b.reshape(B, n1, n2))))
+    gf = np.asarray(bat["negacyclic_polymul"](jnp.asarray(a), jnp.asarray(b)))
+    assert np.array_equal(gm.reshape(B, cfg.n), gf)
+
+    cfgn = NTTConfig(field=field, log_n=9, rows_log2=4, ordering="natural")
+    batn = build_plan(cfgn, engine="pallas", interpret=True).make_batched(B)
+    assert "fwd_mat" not in batn and "inv_mat" not in batn
+    got = np.asarray(batn["polymul_mat"](
+        jnp.asarray(a.reshape(B, n1, n2)), jnp.asarray(b.reshape(B, n1, n2))))
+    want = ref.cyclic_polymul(a[0], b[0], field)
+    assert np.array_equal(got[0].reshape(cfgn.n).astype(np.int64), want)
