@@ -87,6 +87,8 @@ def main() -> int:
         }))
         return 0 if ok else 1
 
+    n1, n2 = cfg.split
+    layout = "flat"
     if B == 1:
         fwd, inv = plan.fwd, plan.inv
         xs = jnp.asarray(a)
@@ -96,6 +98,14 @@ def main() -> int:
         batch = rng.integers(0, field.p, (B, n)).astype(np.uint32)
         batch[0] = a
         xs = jnp.asarray(batch)
+        if fns.get("fwd_mat") is not None and n1 == n2:
+            # matrix-form serving layout (DESIGN.md §3): the flat (B, n)
+            # boundary retile measured 29% of device time at this size
+            # (trace_v5e_logn24.json); n1 == n2 == 4096 so time_device
+            # can chain output into input
+            fwd, inv = fns["fwd_mat"], fns["inv_mat"]
+            xs = xs.reshape(B, n1, n2)
+            layout = "matrix-form"
 
     spec = fwd(xs)
     timed = inv if op == "inv" else fwd
@@ -122,7 +132,7 @@ def main() -> int:
     gbf = (n // 2) * log_n / us_per_ntt / 1e3  # G butterflies/s
     print(json.dumps({
         "metric": f"{op} NTT/s at n=2^24 (single chip, factored twiddles)",
-        "B": B,
+        "B": B, "layout": layout,
         "us_per_ntt": round(us_per_ntt, 1),
         "ntts_per_sec": round(1e6 / us_per_ntt, 2),
         "g_butterflies_per_sec": round(gbf, 1),
