@@ -152,13 +152,21 @@ def main() -> int:
                           "error": "verification FAILED"}))
         return 1
 
+    # The layout rides the metric NAME so same-named values stay
+    # comparable across rounds (rounds <= 3 timed the flat contract under
+    # the unqualified string; the matrix-form number is a different
+    # contract and says so — ADVICE r4).
+    mat_timed = fwd is not bat["fwd"]
+    metric = "NTTs/sec/chip at n=2^20 (32-bit prime)"
+    if mat_timed:
+        metric += ", matrix-form serving layout"
     line = {
-        "metric": "NTTs/sec/chip at n=2^20 (32-bit prime)",
+        "metric": metric,
         "value": round(ntts_per_sec, 1),
         "unit": "NTT/s",
         "vs_baseline": round(vs_baseline, 1),
     }
-    if fwd is not bat["fwd"]:
+    if mat_timed:
         line["layout"] = "matrix-form (device-resident serving layout)"
         line["flat_value"] = round(B / (flat_res["us_per_iter"] * 1e-6), 1)
     print(json.dumps(line))

@@ -398,8 +398,14 @@ def cmd_trace(args) -> int:
         # extra n-sized tables there (packed Shoup halves for harvey4,
         # hi/lo limb planes for GL); factored tables are ~sqrt-size.
         wmat_bytes = 0 if args.wmat_factored else 2 * cfg.n * 4
+        # Per-pass stage counts in TIME order: forward runs the n1-point
+        # columns first (cp1 then cp2); the inverse mirror runs n2 first.
+        n1_, n2_ = cfg.split
+        s1, s2 = n1_.bit_length() - 1, n2_.bit_length() - 1
+        stages = (s1, s2) if op == "fwd" else (s2, s1)
         derived = derive_trace_counters(
             rows, n=cfg.n, itemsize=8 if big else 4,
+            stages_per_pass=stages,
             pass_table_bytes=(0, wmat_bytes),
             vpu_bfly=0 if big else None)  # no measured GL limb ideal yet
         for d in derived:

@@ -237,7 +237,7 @@ _MOVEMENT_PREFIXES = (
 
 def derive_trace_counters(rows: list[dict], *, n: int, batch: int = 1,
                           itemsize: int = 4,
-                          stages_per_pass: Optional[int] = None,
+                          stages_per_pass=None,
                           pass_table_bytes: tuple = (0, 0),
                           hbm_gbps: Optional[float] = None,
                           vpu_bfly: Optional[float] = None) -> list[dict]:
@@ -257,6 +257,11 @@ def derive_trace_counters(rows: list[dict], *, n: int, batch: int = 1,
 
     pass_table_bytes: extra HBM bytes per pass beyond the 2*n*itemsize
     read+write (twiddle-matrix operands), in TIME order (pass 1, pass 2).
+    stages_per_pass: butterfly stages per pass, in TIME order — an
+    (s1, s2) tuple, or an int applied to both. None defaults to the
+    even forward split (log2(n)//2, log2(n) - log2(n)//2); callers with
+    an uneven n1/n2 split or an inverse trace (pass order swaps) should
+    pass the real per-pass stage counts (cli.py does).
     Denominators default to the build machine's measured calibration
     (MEASURED_CAL_V5E_PARTITION) — pass live values to override, or
     vpu_bfly=0 to omit the VPU plane (the calibrated ideal is
@@ -272,16 +277,29 @@ def derive_trace_counters(rows: list[dict], *, n: int, batch: int = 1,
     cand = sorted(cand, key=lambda r: -r["total_us"])[:2]
     if len(cand) < 2:
         return []
+
     # Earlier-numbered XLA op suffix = earlier in the program = pass 1.
-    cand.sort(key=lambda r: r["op"])
+    # Sort by the NUMERIC trailing suffix ('fwd_fn.9' before 'fwd_fn.10'
+    # — a raw string sort swaps them across digit boundaries).
+    def _op_key(r):
+        stem, _, suf = r["op"].rpartition(".")
+        return (stem, int(suf)) if suf.isdigit() else (r["op"], -1)
+
+    cand.sort(key=_op_key)
     hbm = hbm_gbps or MEASURED_CAL_V5E_PARTITION["hbm_gbps"]
     vpu = (vpu_bfly if vpu_bfly is not None
            else MEASURED_CAL_V5E_PARTITION["vpu_bfly_per_sec"])
-    stages = stages_per_pass or (int(math.log2(n)) // 2)
-    bfly_pass = batch * (n // 2) * stages
+    logn = int(math.log2(n))
+    if stages_per_pass is None:
+        stages = (logn // 2, logn - logn // 2)
+    elif isinstance(stages_per_pass, int):
+        stages = (stages_per_pass, stages_per_pass)
+    else:
+        stages = tuple(stages_per_pass)
     out = []
     for i, r in enumerate(cand):
         t = r["total_us"] * 1e-6
+        bfly_pass = batch * (n // 2) * stages[i]
         data_bytes = batch * 2 * n * itemsize + pass_table_bytes[i]
         gbf = bfly_pass / t / 1e9
         gbps = data_bytes / t / 1e9

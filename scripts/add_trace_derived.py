@@ -27,9 +27,23 @@ def main(paths) -> int:
         # Committed artifacts were captured with the full-matrix wmat on
         # the second pass except the logn24 one (factored; see its name
         # in VERIFICATION.md round-4 rows / the capture command).
-        factored = payload.get("wmat_factored", "logn24" in path)
+        if "wmat_factored" in payload:
+            factored = payload["wmat_factored"]
+        else:
+            factored = "logn24" in path
+            print(f"{path}: WARNING — no 'wmat_factored' field; falling "
+                  f"back to the filename heuristic (factored={factored}). "
+                  "Re-capture with the current CLI, or set the field by "
+                  "hand, to make the table-byte attribution explicit.")
+        # Per-pass stages in TIME order (forward: n1-point columns first;
+        # inverse mirrors). All committed shapes use the default even
+        # split rows_log2 = log_n // 2.
+        logn = payload["log_n"]
+        s1, s2 = logn // 2, logn - logn // 2
+        stages = (s1, s2) if payload.get("op", "fwd") == "fwd" else (s2, s1)
         derived = derive_trace_counters(
             payload["ops"], n=n, itemsize=8 if big else 4,
+            stages_per_pass=stages,
             pass_table_bytes=(0, 0 if factored else 2 * n * 4),
             vpu_bfly=0 if big else None)
         if not derived:

@@ -272,3 +272,24 @@ def test_derive_trace_counters():
     # no two pass ops -> no derived planes (marker-pair fallback shape)
     assert derive_trace_counters(
         [{"op": "forward_ntt", "total_us": 10.0, "count": 20}], n=n) == []
+
+    # numeric-suffix program order: 'fwd_fn.9' is pass 1 even though it
+    # sorts after 'fwd_fn.10' lexicographically (ADVICE r4)
+    rows_digit = [
+        {"op": "fwd_fn.10", "total_us": 30.0, "count": 1},
+        {"op": "fwd_fn.9", "total_us": 20.0, "count": 1},
+    ]
+    d = derive_trace_counters(rows_digit, n=n,
+                              pass_table_bytes=(0, 2 * n * 4))
+    assert [r["op"] for r in d] == ["fwd_fn.9", "fwd_fn.10"]
+    assert d[0]["hbm_bytes"] == 2 * n * 4  # table bytes land on pass 2
+
+    # per-pass stages for uneven splits: odd log_n gives (s, s+1)
+    n_odd = 1 << 21
+    d = derive_trace_counters(rows_digit, n=n_odd)
+    assert d[0]["butterflies"] == (n_odd // 2) * 10
+    assert d[1]["butterflies"] == (n_odd // 2) * 11
+    d = derive_trace_counters(rows_digit, n=n_odd, stages_per_pass=(11, 10))
+    assert d[0]["butterflies"] == (n_odd // 2) * 11
+    d = derive_trace_counters(rows_digit, n=n_odd, stages_per_pass=7)
+    assert d[0]["butterflies"] == d[1]["butterflies"] == (n_odd // 2) * 7
