@@ -271,6 +271,51 @@ class NTTContext:
             self._build()
         return self._plan
 
+    def make_batched(self, batch: int) -> dict:
+        """Batched serving callables over (batch, n) operands — the
+        throughput path (one dispatch per op for the whole batch; the
+        batch rides a Pallas grid axis or the lane axis). Returns the
+        plan's dict: `fwd`/`inv`/`polymul` (flat contract) plus, on
+        Pallas four-step plans, the matrix-form serving layout
+        `fwd_mat`/`inv_mat`/`polymul_mat` (and negacyclic twins) over
+        device-resident (batch, n1, n2) matrices that skip the flat
+        boundary retile (DESIGN.md §3; the headline path). Single-chip
+        contexts only: distributed serving batches shard over a 2D mesh
+        via the builder's dp_axis= instead (parallel/fourstep.py)."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "make_batched is the single-chip serving surface; with "
+                "mesh= use dp_axis= on the distributed builder (a 2D "
+                "dp x coeff mesh) for batched serving")
+        return self.plan.make_batched(batch)
+
+    # Unbatched matrix-form twins (B=1 latency path; None-guarded
+    # delegation to Plan.fwd_mat/inv_mat/polymul_mat).
+    def _mat(self, name):
+        fn = getattr(self.plan, name, None)
+        if fn is None:
+            raise NotImplementedError(
+                f"this plan has no {name} (matrix-form callables exist "
+                "on single-chip Pallas four-step plans; fwd/inv twins "
+                "need the default spectral ordering)")
+        return fn
+
+    def forward_mat(self, a):
+        """Matrix-form forward: (n1, n2) natural-layout -> (n2, n1)
+        spectral, no flat boundary retile (row-major flattening equals
+        forward()'s vector bit-exactly). Goldilocks plans take/return
+        uint64 matrices or (hi, lo) uint32 limb-pair matrices."""
+        return self._mat("fwd_mat")(a)
+
+    def inverse_mat(self, s):
+        return self._mat("inv_mat")(s)
+
+    def polymul_mat(self, a, b):
+        return self._mat("polymul_mat")(a, b)
+
+    def negacyclic_polymul_mat(self, a, b):
+        return self._mat("negacyclic_polymul_mat")(a, b)
+
     def forward(self, a):
         if self._fwd is None:
             self._build()

@@ -186,6 +186,7 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
     p = field.p
     n1, n2 = config.split
     make_batched_cores = None  # set by the pallas four-step branch
+    fwd_mat_core = None        # unbatched matrix-form twins, same branch
     wfac_on = bool(wmat_factored) if wmat_factored is not None else False
     wfac_on = wfac_on and engine == "pallas" and n2 > 1
 
@@ -249,6 +250,22 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
                 h, l = icp2(h.reshape(n2, n1), l.reshape(n2, n1))
                 h, l = icp1(h, l)
                 return h.reshape(n), l.reshape(n)
+
+            # Unbatched matrix-form twins (Plan.fwd_mat contract): the
+            # same kernels with no flat boundary reshape — GL pays the
+            # retile twice per boundary, once per limb plane.
+            _jgl_mul1 = jax.jit(M.gl_mul)
+
+            def fwd_mat_core(h, l):
+                return cp2(*cp1(h, l))
+
+            def inv_mat_core(h, l):
+                return icp1(*icp2(h, l))
+
+            def polymul_mat_core(ah, al, bh, bl):
+                fah, fal = fwd_mat_core(ah, al)
+                fbh, fbl = fwd_mat_core(bh, bl)
+                return inv_mat_core(*_jgl_mul1(fah, fal, fbh, fbl))
 
             def make_batched_cores(B):
                 """Dedicated batch-grid kernels (shared tables fetched once
@@ -471,6 +488,14 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
                     z.reshape(B, n1, n2) for z in inv2d_b(*hl)))
         return out
 
+    mat_kw = {}
+    if fwd_mat_core is not None:
+        mat_kw["polymul_mat"] = _wrap2(
+            lambda a, b: polymul_mat_core(*a, *b))
+        if config.ordering == "bitrev":
+            mat_kw["fwd_mat"] = _wrap1(lambda hl: fwd_mat_core(*hl))
+            mat_kw["inv_mat"] = _wrap1(lambda hl: inv_mat_core(*hl))
+
     return Plan(
         config=config,
         fwd=_wrap1(jfwd),
@@ -482,4 +507,5 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
         reduction="goldilocks",
         wmat_factored=wfac_on,
         _batched_builder=batched_builder,
+        **mat_kw,
     )

@@ -71,6 +71,19 @@ class Plan:
     # array equals the corresponding flat callable's vector bit-exactly.
     _batched_builder: Optional[Callable] = None
     _batched_cache: dict = dataclasses.field(default_factory=dict)
+    # Unbatched matrix-form twins (round 5, VERDICT r4 #3): the same
+    # contract as the batched `*_mat` callables without the leading batch
+    # dim — fwd_mat (n1, n2) natural-layout -> (n2, n1) spectral, inv_mat
+    # the converse, polymul_mat/negacyclic_polymul_mat layout-safe. The
+    # B=1 serving/latency path: a single flat call pays the boundary
+    # retile (~12% of device time at n=2^20 B=1, committed trace); these
+    # don't. None on plans without matrix-form kernels (flat split, xla
+    # engine) and, for fwd/inv, on ordering='natural' plans (a flat
+    # natural-order permutation has no cheap matrix-form equivalent).
+    fwd_mat: Optional[Callable] = None
+    inv_mat: Optional[Callable] = None
+    polymul_mat: Optional[Callable] = None
+    negacyclic_polymul_mat: Optional[Callable] = None
 
     def make_batched(self, batch: int) -> dict:
         if batch not in self._batched_cache:
@@ -154,6 +167,9 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
 
             return M.mont_mul(fa, fb, p, field.mont_neg_pinv)
         return red.mul_data(fa, fb)
+
+    # Unbatched matrix-form twins; set by the pallas four-step branch
+    fwd_mat_fn = inv_mat_fn = polymul_mat_fn = nega_mat_fn = None
 
     # ---- host-side tables ----
     wfac_on = bool(wmat_factored) if wmat_factored is not None else False
@@ -275,6 +291,25 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             fwd_fn = lambda a: ff(a.astype(jnp.uint32).reshape(n1, n2)).reshape(n)  # noqa: E731
             inv_fn = lambda a: fi(a.astype(jnp.uint32).reshape(n2, n1)).reshape(n)  # noqa: E731
             inv_poly_fn = lambda a: fip(a.astype(jnp.uint32).reshape(n2, n1)).reshape(n)  # noqa: E731
+
+        # Unbatched matrix-form twins (Plan.fwd_mat contract): the same
+        # kernels with no flat boundary reshape — (n1, n2) natural-layout
+        # in, (n2, n1) spectral out (and converse). The B=1 serving path.
+        if fused_ok:
+            fwd_mat_fn = lambda a: ff(_u32cast(a))  # noqa: E731
+            inv_mat_fn = lambda a: fi(_u32cast(a))  # noqa: E731
+
+            def polymul_mat_fn(a, b):
+                return fip(_pointwise(ff(_u32cast(a)), ff(_u32cast(b))))
+        else:
+            def _fwd2d(a):
+                return cp2(cp1(_u32cast(a)))
+
+            fwd_mat_fn = _fwd2d
+            inv_mat_fn = lambda a: icp1(icp2(_u32cast(a)))  # noqa: E731
+
+            def polymul_mat_fn(a, b):
+                return icp1_poly(icp2p(_pointwise(_fwd2d(a), _fwd2d(b))))
 
         def batched_builder(B):
             # On TPU the flat (B, n) <-> (B, n1, n2) boundary reshape is a
@@ -635,6 +670,16 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             fc = _pointwise(fa, fb)
             return _nega_inv(fc)
 
+        # matrix-form twin: same kernels, no flat boundary reshapes
+        if fused_ok:
+            def nega_mat_fn(a, b):
+                return ni(_pointwise(nf(_u32cast(a)), nf(_u32cast(b))))
+        else:
+            def nega_mat_fn(a, b):
+                fa = cp2(ncp1(_u32cast(a)))
+                fb = cp2(ncp1(_u32cast(b)))
+                return nicp1(icp2p(_pointwise(fa, fb)))
+
     elif config.negacyclic:
         psi = _dev(red.prepare_table(tw.negacyclic_psi_powers(field, n)))
         psi_inv = _dev(red.prepare_table(tw.negacyclic_psi_powers(field, n, inverse=True)))
@@ -656,6 +701,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                 out["negacyclic_polymul"] = jax.jit(jax.vmap(nega_fn))
             return out
 
+    spectral = config.ordering == "bitrev"
     return Plan(
         config=config,
         fwd=jax.jit(fwd_fn),
@@ -667,6 +713,11 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         reduction=kind,
         wmat_factored=wfac_on,
         _batched_builder=batched_builder,
+        # fwd/inv twins are spectral-order only (batched-dict convention)
+        fwd_mat=fwd_mat_fn if spectral else None,
+        inv_mat=inv_mat_fn if spectral else None,
+        polymul_mat=polymul_mat_fn,
+        negacyclic_polymul_mat=nega_mat_fn,
     )
 
 

@@ -35,6 +35,7 @@ class RNSPolymul:
 
     def __init__(self, log_n: int, prime_fields: Sequence = DEFAULT_FIELDS,
                  *, negacyclic: bool = False, engine: str = "auto",
+                 interpret: bool = False, rows_log2: int | None = None,
                  mesh=None, overlap_chunks: int = 1,
                  dp_axis: str | None = None):
         """mesh: a jax.sharding.Mesh runs every residue field's polymul on
@@ -77,10 +78,15 @@ class RNSPolymul:
         if mesh is None and dp_axis is not None:
             raise ValueError("dp_axis requires mesh= (a 2D dp x coeff mesh)")
         if mesh is None:
+            # rows_log2 forwards to the per-prime configs (spectral order
+            # is internal here: RNS only consumes polymul outputs, which
+            # are order-agnostic coefficients either way)
+            cfg_kw = {} if rows_log2 is None else {"rows_log2": rows_log2}
             self.plans = [
                 build_plan(
-                    NTTConfig(field=f, log_n=log_n, negacyclic=negacyclic),
-                    engine=engine,
+                    NTTConfig(field=f, log_n=log_n, negacyclic=negacyclic,
+                              **cfg_kw),
+                    engine=engine, interpret=interpret,
                 )
                 for f in self.fields
             ]
@@ -146,17 +152,27 @@ class RNSPolymul:
         # returns nonnegative remainders for signed inputs, as needed
         return [(a % f.p).astype(np.uint32) for f in self.fields]
 
-    def _residue_products(self, a, b) -> list:
+    def _residue_products(self, a, b) -> tuple[list, bool]:
         """Dispatch every prime's polymul before fetching any result:
         JAX dispatch is async, so the k independent transforms overlap.
         Inputs may carry a leading batch dim (single-chip plans route to
-        the batched kernel builders; see Plan.make_batched)."""
+        the batched kernel builders; see Plan.make_batched).
+
+        Single-chip Pallas plans route through the MATRIX-FORM product
+        (`polymul_mat`): residues upload host-reshaped to (.., n1, n2)
+        and every internal composition stays in the transform's natural
+        tiling — the flat (B, n) boundary is a physical lane retile on
+        TPU (~30% of the chained pipeline, DESIGN.md §3) that the old
+        flat routing paid twice per prime per call. Returns
+        (pending, mat): mat=True when products are matrix-shaped and the
+        caller owns the single exit flatten."""
         import jax.numpy as jnp
 
         ra_all, rb_all = self._residues(a), self._residues(b)
         batch = ra_all[0].shape[0] if ra_all[0].ndim == 2 else None
         key = "negacyclic_polymul" if self.negacyclic else "polymul"
         pending = []
+        mat = False
         for plan, ra, rb in zip(self.plans, ra_all, rb_all):
             if self.mesh is not None:
                 if batch is not None and self.dp_axis is None:
@@ -171,13 +187,29 @@ class RNSPolymul:
                         "drop dp_axis for single-vector calls")
                 fn = plan.negacyclic_polymul if self.negacyclic else plan.polymul
                 pending.append(fn(plan.shard_input(ra), plan.shard_input(rb)))
-            elif batch is not None:
-                fn = plan.make_batched(batch)[key]
-                pending.append(fn(jnp.asarray(ra), jnp.asarray(rb)))
+                continue
+            n1, n2 = plan.config.split
+            if batch is not None:
+                fn = plan.make_batched(batch).get(key + "_mat")
+                if fn is not None:
+                    mat = True
+                    pending.append(fn(jnp.asarray(ra.reshape(batch, n1, n2)),
+                                      jnp.asarray(rb.reshape(batch, n1, n2))))
+                else:
+                    fn = plan.make_batched(batch)[key]
+                    pending.append(fn(jnp.asarray(ra), jnp.asarray(rb)))
             else:
-                fn = plan.negacyclic_polymul if self.negacyclic else plan.polymul
-                pending.append(fn(jnp.asarray(ra), jnp.asarray(rb)))
-        return pending
+                fn = (plan.negacyclic_polymul_mat if self.negacyclic
+                      else plan.polymul_mat)
+                if fn is not None:
+                    mat = True
+                    pending.append(fn(jnp.asarray(ra.reshape(n1, n2)),
+                                      jnp.asarray(rb.reshape(n1, n2))))
+                else:
+                    fn = (plan.negacyclic_polymul if self.negacyclic
+                          else plan.polymul)
+                    pending.append(fn(jnp.asarray(ra), jnp.asarray(rb)))
+        return pending, mat
 
     def polymul_limbs(self, a, b):
         """Exact product with the CRT combine ON DEVICE: returns an
@@ -193,12 +225,14 @@ class RNSPolymul:
             raise ValueError(
                 "device CRT combine needs odd primes < 2^31; this prime "
                 "set falls back to host combine (use polymul())")
-        pending = self._residue_products(a, b)
+        pending, mat = self._residue_products(a, b)
         out = self._combine(*pending)  # elementwise: any residue shape
-        if self.mesh is not None:
-            # distributed residue products are (n1, n2) — or (B, n1, n2)
-            # dp-batched — matrices; flatten each transform once on the
-            # combined output (one dispatch, not k)
+        if self.mesh is not None or mat:
+            # matrix-form residue products — distributed (n1, n2) /
+            # dp-batched (B, n1, n2), or the single-chip polymul_mat
+            # routing — flatten each transform once on the combined
+            # output (one dispatch, not k; row-major flattening of the
+            # natural-layout product IS the flat vector, plan.py)
             if out.ndim == 4:
                 out = out.reshape(out.shape[0], self.n, self.nwords)
             else:
@@ -213,8 +247,9 @@ class RNSPolymul:
             from ntt_aie_tpu.ops.crt import limbs_to_int
 
             return limbs_to_int(np.asarray(self.polymul_limbs(a, b)))
-        res = [np.asarray(r) for r in self._residue_products(a, b)]
-        if self.mesh is not None:
+        pending, mat = self._residue_products(a, b)
+        res = [np.asarray(r) for r in pending]
+        if self.mesh is not None or mat:
             res = [r.reshape(self.n) if r.ndim == 2
                    else r.reshape(r.shape[0], self.n) for r in res]
         # CRT: c = sum_i r_i * e_i mod M (object math, exact)

@@ -266,3 +266,30 @@ def test_gl_matrix_form_callables(rng):
                                        b.reshape(B, n1, n2)))
     assert np.array_equal(pm.reshape(B, cfg.n),
                           np.asarray(bat["polymul"](a, b)))
+
+
+def test_gl_unbatched_matrix_form_twins(rng):
+    """GL Plan.fwd_mat/inv_mat/polymul_mat (round 5): the unbatched
+    matrix-form twins over uint64 matrices (and limb pairs via the same
+    _wrap conversion) match the flat callables bit-exactly."""
+    from ntt_aie_tpu.goldilocks_plan import build_goldilocks_plan
+
+    cfg = NTTConfig(field=GL, log_n=9, rows_log2=4)
+    plan = build_goldilocks_plan(cfg, engine="pallas", interpret=True)
+    n1, n2 = cfg.split
+    a = _rand(rng, cfg.n)
+    b = _rand(rng, cfg.n)
+
+    fm = np.asarray(plan.fwd_mat(a.reshape(n1, n2)))
+    assert fm.shape == (n2, n1)
+    assert np.array_equal(fm.reshape(cfg.n), np.asarray(plan.fwd(a)))
+
+    im = np.asarray(plan.inv_mat(fm))
+    assert im.shape == (n1, n2)
+    assert np.array_equal(im.reshape(cfg.n), a)
+
+    pm = np.asarray(plan.polymul_mat(a.reshape(n1, n2), b.reshape(n1, n2)))
+    assert np.array_equal(pm.reshape(cfg.n), np.asarray(plan.polymul(a, b)))
+
+    # xla engine has no matrix-form kernels
+    assert build_goldilocks_plan(cfg, engine="xla").fwd_mat is None

@@ -716,3 +716,104 @@ def test_matrix_form_negacyclic_and_natural_gating(rng):
         jnp.asarray(a.reshape(B, n1, n2)), jnp.asarray(b.reshape(B, n1, n2))))
     want = ref.cyclic_polymul(a[0], b[0], field)
     assert np.array_equal(got[0].reshape(cfgn.n).astype(np.int64), want)
+
+
+def test_unbatched_matrix_form_twins(rng):
+    """Plan.fwd_mat/inv_mat/polymul_mat/negacyclic_polymul_mat (round 5):
+    the B=1 latency twins of the batched *_mat callables — same kernels,
+    no flat boundary retile, bit-identical to the flat callables under
+    row-major (un)flattening. Natural-ordering plans keep the layout-safe
+    polymul twins but drop fwd_mat/inv_mat."""
+    from ntt_aie_tpu.plan import build_plan
+
+    field = F.P_469762049
+    for fused in (False, True):
+        cfg = NTTConfig(field=field, log_n=10, rows_log2=5, negacyclic=True)
+        plan = build_plan(cfg, engine="pallas", interpret=True, fused=fused)
+        n1, n2 = cfg.split
+        a = rng.integers(0, field.p, cfg.n).astype(np.uint32)
+        b = rng.integers(0, field.p, cfg.n).astype(np.uint32)
+        am = jnp.asarray(a.reshape(n1, n2))
+        bm = jnp.asarray(b.reshape(n1, n2))
+
+        fm = np.asarray(plan.fwd_mat(am))
+        assert fm.shape == (n2, n1), fused
+        flat = np.asarray(plan.fwd(jnp.asarray(a)))
+        assert np.array_equal(fm.reshape(cfg.n), flat), fused
+
+        im = np.asarray(plan.inv_mat(jnp.asarray(fm)))
+        assert im.shape == (n1, n2)
+        assert np.array_equal(im.reshape(cfg.n), a), fused
+
+        pm = np.asarray(plan.polymul_mat(am, bm))
+        pflat = np.asarray(plan.polymul(jnp.asarray(a), jnp.asarray(b)))
+        assert np.array_equal(pm.reshape(cfg.n), pflat), fused
+
+        gm = np.asarray(plan.negacyclic_polymul_mat(am, bm))
+        gflat = np.asarray(plan.negacyclic_polymul(jnp.asarray(a),
+                                                   jnp.asarray(b)))
+        assert np.array_equal(gm.reshape(cfg.n), gflat), fused
+
+    # natural ordering: polymul twins stay, fwd/inv twins are gated off
+    cfgn = NTTConfig(field=field, log_n=10, rows_log2=5, ordering="natural")
+    plann = build_plan(cfgn, engine="pallas", interpret=True)
+    assert plann.fwd_mat is None and plann.inv_mat is None
+    n1, n2 = cfgn.split
+    a = rng.integers(0, field.p, cfgn.n).astype(np.uint32)
+    b = rng.integers(0, field.p, cfgn.n).astype(np.uint32)
+    got = np.asarray(plann.polymul_mat(jnp.asarray(a.reshape(n1, n2)),
+                                       jnp.asarray(b.reshape(n1, n2))))
+    want = ref.cyclic_polymul(a, b, field)
+    assert np.array_equal(got.reshape(cfgn.n).astype(np.int64), want)
+
+    # flat-split and xla plans have no matrix-form kernels
+    flatp = build_plan(NTTConfig(field=field, log_n=8, rows_log2=8))
+    assert flatp.fwd_mat is None and flatp.polymul_mat is None
+
+
+def test_context_serving_surface(rng):
+    """NTTContext.make_batched / forward_mat / polymul_mat (round 5): the
+    documented L3 driver exposes the serving layout — delegation to the
+    plan's batched dict and the unbatched twins, with clear errors where
+    they don't exist (mesh contexts, xla plans)."""
+    field = F.P_469762049
+    cfg = NTTConfig(field=field, log_n=10, rows_log2=5)
+    ctx = NTTContext(cfg, engine="pallas", interpret=True)
+    n1, n2 = cfg.split
+    B = 2
+    bat = ctx.make_batched(B)
+    assert set(bat) >= {"fwd", "inv", "polymul", "fwd_mat", "inv_mat",
+                        "polymul_mat"}
+    a = rng.integers(0, field.p, (B, cfg.n)).astype(np.uint32)
+    fm = np.asarray(bat["fwd_mat"](jnp.asarray(a.reshape(B, n1, n2))))
+    assert np.array_equal(fm.reshape(B, cfg.n),
+                          np.asarray(bat["fwd"](jnp.asarray(a))))
+
+    am = jnp.asarray(a[0].reshape(n1, n2))
+    fm1 = np.asarray(ctx.forward_mat(am))
+    assert np.array_equal(fm1.reshape(cfg.n), np.asarray(ctx.forward(a[0])))
+    assert np.array_equal(np.asarray(ctx.inverse_mat(jnp.asarray(fm1))),
+                          np.asarray(am))
+    pm = np.asarray(ctx.polymul_mat(am, am))
+    assert np.array_equal(pm.reshape(cfg.n),
+                          np.asarray(ctx.polymul(a[0], a[0])))
+
+    # xla plans have no matrix-form kernels -> informative error
+    ctx_xla = NTTContext(cfg, engine="xla")
+    with pytest.raises(NotImplementedError, match="matrix-form"):
+        ctx_xla.forward_mat(am)
+
+    # negacyclic twin needs negacyclic=True planning (via plan attr)
+    with pytest.raises(NotImplementedError, match="matrix-form"):
+        ctx_xla.negacyclic_polymul_mat(am, am)
+
+
+def test_context_make_batched_rejects_mesh():
+    import jax
+    from ntt_aie_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(2)
+    cfg = NTTConfig(field=F.P_469762049, log_n=10, rows_log2=5, num_shards=2)
+    ctx = NTTContext(cfg, mesh=mesh)
+    with pytest.raises(NotImplementedError, match="dp_axis"):
+        ctx.make_batched(4)
