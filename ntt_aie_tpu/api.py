@@ -45,7 +45,8 @@ class NTTContext:
             # (one entry point, all knobs — the reference's single CLI
             # surface, src/test.cpp:85-92); only genuinely distributed
             # options still require mesh=.
-            single = {"engine", "interpret", "fused", "wmat_factored"}
+            single = {"engine", "interpret", "fused", "wmat_factored",
+                      "wmat_fold"}
             bad = sorted(set(plan_kwargs) - single)
             if bad:
                 raise TypeError(

@@ -301,7 +301,17 @@ def build_colpass(
     n2: int,
     red: Reduction,
     direction: str,  # 'dif' | 'dit'
-    twiddle_pos: str = "none",  # 'none' | 'pre' | 'post'
+    twiddle_pos: str = "none",  # 'none' | 'pre' | 'post' | 'post_t'
+    # 'post_t' (round 5): apply the multiply AFTER the fused output
+    # transpose, in the transposed layout — the wmat operand is then
+    # (n2, n1)-oriented and blocked like the output. This is how the
+    # four-step twiddle folds into pass 1's exit instead of pass 2's
+    # entry (same elementwise values — the multiply commutes with the
+    # store/load between passes — so outputs are bit-identical by
+    # construction; an earlier 'post'+transpose_out fusion attempt
+    # measured 4x slower because the multiply ran in the PRE-transpose
+    # layout and Mosaic relayouted the product; post_t multiplies the
+    # already-transposed tile). Requires transpose_out=True.
     twiddle_pos2: str = "none",  # optional SECOND elementwise multiply —
     # lets a pass fuse e.g. a 'pre' four-step matrix AND a 'post'
     # negacyclic psi^-1 scaling with zero extra HBM round trips
@@ -355,6 +365,10 @@ def build_colpass(
     assert logn == n1.bit_length() - 1
     nested = len(phases_ts) == 2
     R_mid, S_mid = mid_rs
+    has_post_t = "post_t" in (twiddle_pos, twiddle_pos2)
+    if has_post_t and not transpose_out:
+        raise ValueError("twiddle_pos 'post_t' multiplies the transposed "
+                         "output tile; it requires transpose_out=True")
     nt = red.n_tables
     if block_lanes is None:
         # Wider slabs amortize per-grid-step overhead (measured on v5e:
@@ -438,10 +452,23 @@ def build_colpass(
             x = apply_wfac(x)
         if rank1_pos == "post":
             x = apply_rank1(x)
-        if canonicalize:
-            x = red.canonicalize(x)
-        if transpose_out:
+        if not has_post_t:
+            if canonicalize:
+                x = red.canonicalize(x)
+            if transpose_out:
+                x = x.T
+        else:
+            # post_t: transpose FIRST, then multiply in the transposed
+            # layout (operands arrive output-blocked), then canonicalize
             x = x.T
+            if twiddle_pos == "post_t":
+                wm = tuple(r[:].reshape(x.shape) for r in wmat_refs)
+                x = red.mulc_mat(x, *wm)
+            if twiddle_pos2 == "post_t":
+                wm = tuple(r[:].reshape(x.shape) for r in wmat2_refs)
+                x = red.mulc_mat(x, *wm)
+            if canonicalize:
+                x = red.canonicalize(x)
         out_ref[:] = x.reshape(out_ref.shape)
 
     # Block specs. Batched grids are (lane_slab, batch): batch innermost so
@@ -451,6 +478,10 @@ def build_colpass(
         x_spec = pl.BlockSpec((n1, block_lanes), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
         wmat_spec = x_spec
+        # post_t operands are (n2, n1)-oriented, blocked like the
+        # transposed output
+        wmat_t_spec = pl.BlockSpec((block_lanes, n1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
         wfac_specs = ([pl.BlockSpec((n1 // S, block_lanes), lambda i: (0, i),
                                     memory_space=pltpu.VMEM)] * nt
                       + [pl.BlockSpec((S, block_lanes), lambda i: (0, i),
@@ -480,6 +511,8 @@ def build_colpass(
                               memory_space=pltpu.VMEM)
         wmat_spec = pl.BlockSpec((n1, block_lanes), lambda i, b: (0, i),
                                  memory_space=pltpu.VMEM)
+        wmat_t_spec = pl.BlockSpec((block_lanes, n1), lambda i, b: (i, 0),
+                                   memory_space=pltpu.VMEM)
         wfac_specs = ([pl.BlockSpec((n1 // S, block_lanes),
                                     lambda i, b: (0, i),
                                     memory_space=pltpu.VMEM)] * nt
@@ -506,7 +539,10 @@ def build_colpass(
             out_shape = jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32)
         full_grid = (grid, batch)
     in_specs = [x_spec] + tw_specs
-    in_specs.extend([wmat_spec] * (n_wm1 + n_wm2))
+    in_specs.extend(
+        [wmat_t_spec if twiddle_pos == "post_t" else wmat_spec] * n_wm1)
+    in_specs.extend(
+        [wmat_t_spec if twiddle_pos2 == "post_t" else wmat_spec] * n_wm2)
     in_specs.extend(wfac_specs)
     in_specs.extend(rank1_specs)
 

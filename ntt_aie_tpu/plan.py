@@ -58,6 +58,10 @@ class Plan:
     # (requested wmat_factored can silently downgrade on non-pallas
     # engines or flat splits — callers A/B-ing the mode must check this).
     wmat_factored: bool = False
+    # True when the four-step multiply is folded into the transposing
+    # pass's exit ('post_t') instead of the next pass's entry — same
+    # downgrade caveat as wmat_factored.
+    wmat_fold: bool = False
     # make_batched(B) -> dict(fwd=..., inv=..., polymul=...) over (B, n)
     # uint32 arrays. Throughput path: batching amortizes per-dispatch and
     # per-kernel-launch latency (the dominant cost for single transforms on
@@ -104,7 +108,8 @@ def _dev(tables: tuple) -> tuple:
 
 
 def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = False,
-               fused: bool = False, wmat_factored: bool | None = None) -> Plan:
+               fused: bool = False, wmat_factored: bool | None = None,
+               wmat_fold: bool = False) -> Plan:
     """engine: 'auto' (pallas on TPU, xla elsewhere), 'pallas', 'xla'.
 
     fused=True (pallas engine only) runs BOTH four-step passes in one
@@ -123,6 +128,15 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
     default stays full-matrix; the DISTRIBUTED builders default to
     factored, where its wins are unambiguous. Identical canonical
     outputs either way (tested).
+
+    wmat_fold=True (pallas engine, full-matrix mode) folds the
+    four-step twiddle multiply into the TRANSPOSING pass's exit
+    epilogue ('post_t', riding the transposed tile on pass 1's output
+    store) instead of the next pass's entry — pass 2 becomes pure
+    stages + canon, rebalancing the wmat table stream onto the pass
+    with HBM headroom (DESIGN.md §2 candidate). The multiply commutes
+    with the inter-pass store/load, so outputs are bit-identical
+    (tested). Ignored on xla/flat/fused/factored plans.
     """
     field = config.field
     kind = resolve_kind(config.reduction, field)
@@ -174,6 +188,8 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
     # ---- host-side tables ----
     wfac_on = bool(wmat_factored) if wmat_factored is not None else False
     wfac_on = wfac_on and engine == "pallas" and n2 > 1
+    fold_on = (bool(wmat_fold) and engine == "pallas" and n2 > 1
+               and not fused and not wfac_on)
     if n2 > 1:
         if wfac_on and not fused:
             # Factored-twiddle plans apply the four-step multiply from
@@ -226,8 +242,9 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
             (unchanged) and icp2 'post' (pre-transpose) instead of icp1
             'pre' — same elementwise multiply, transposed indexing."""
             kw = dict(reduction=kind, batch=B, interpret=interpret)
-            cp1_ = PN.make_colpass(field, n1, n2, direction="dif",
-                                   transpose_out=True, **kw)
+            if not fold_on:
+                cp1_ = PN.make_colpass(field, n1, n2, direction="dif",
+                                       transpose_out=True, **kw)
             if wfac_on:
                 cp2_ = PN.make_colpass(field, n2, n1, direction="dif",
                                        wfac=wf_f, wfac_pos="pre",
@@ -241,6 +258,31 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                                           inverse_tw=True, wfac=wf_ip,
                                           wfac_pos="post", transpose_out=True,
                                           **kw))
+                icp1_ = PN.make_colpass(field, n1, n2, direction="dit",
+                                        inverse_tw=True, canonicalize=True,
+                                        **kw)
+                icp1p_ = icp1_
+            elif fold_on:
+                # Folded mode: the four-step multiply rides the
+                # TRANSPOSING pass's exit ('post_t') — forward on cp1,
+                # inverse on icp2 — so cp2/icp1 are pure stages + canon.
+                # Bit-identical to the entry placement (the elementwise
+                # multiply commutes with the inter-pass store/load).
+                cp1_ = PN.make_colpass(field, n1, n2, direction="dif",
+                                       transpose_out=True,
+                                       wmat=np.ascontiguousarray(wmat.T),
+                                       twiddle_pos="post_t", **kw)
+                cp2_ = PN.make_colpass(field, n2, n1, direction="dif",
+                                       canonicalize=True, **kw)
+                icp2_ = PN.make_colpass(field, n2, n1, direction="dit",
+                                        inverse_tw=True, transpose_out=True,
+                                        wmat=iwmat_scaled,
+                                        twiddle_pos="post_t", **kw)
+                icp2p_ = (icp2_ if iwmat_poly is iwmat_scaled else
+                          PN.make_colpass(field, n2, n1, direction="dit",
+                                          inverse_tw=True, transpose_out=True,
+                                          wmat=iwmat_poly,
+                                          twiddle_pos="post_t", **kw))
                 icp1_ = PN.make_colpass(field, n1, n2, direction="dit",
                                         inverse_tw=True, canonicalize=True,
                                         **kw)
@@ -448,17 +490,34 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                     psi_mat = tw.negacyclic_psi_powers(field, n).reshape(n1, n2)
                     psi_inv_mat = tw.negacyclic_psi_powers(
                         field, n, inverse=True).reshape(n1, n2)
-                    ncp1b = PN.make_colpass(field, n1, n2, reduction=kind,
-                                            direction="dif", wmat=psi_mat,
-                                            twiddle_pos="pre",
-                                            transpose_out=True,
-                                            batch=B, interpret=interpret)
-                    nicp1b = PN.make_colpass(field, n1, n2, reduction=kind,
-                                             direction="dit", inverse_tw=True,
-                                             wmat=iwmat_poly, twiddle_pos="pre",
-                                             wmat2=psi_inv_mat, twiddle_pos2="post",
-                                             canonicalize=True, batch=B,
-                                             interpret=interpret)
+                    if fold_on:
+                        # psi 'pre' + the folded four-step wmat 'post_t'
+                        # on pass 1; the poly-scale inverse multiply
+                        # already rides icp2pb 'post_t', so the last
+                        # pass only adds psi^-1
+                        ncp1b = PN.make_colpass(
+                            field, n1, n2, reduction=kind, direction="dif",
+                            wmat=psi_mat, twiddle_pos="pre",
+                            wmat2=np.ascontiguousarray(wmat.T),
+                            twiddle_pos2="post_t", transpose_out=True,
+                            batch=B, interpret=interpret)
+                        nicp1b = PN.make_colpass(
+                            field, n1, n2, reduction=kind, direction="dit",
+                            inverse_tw=True, wmat=psi_inv_mat,
+                            twiddle_pos="post", canonicalize=True,
+                            batch=B, interpret=interpret)
+                    else:
+                        ncp1b = PN.make_colpass(field, n1, n2, reduction=kind,
+                                                direction="dif", wmat=psi_mat,
+                                                twiddle_pos="pre",
+                                                transpose_out=True,
+                                                batch=B, interpret=interpret)
+                        nicp1b = PN.make_colpass(field, n1, n2, reduction=kind,
+                                                 direction="dit", inverse_tw=True,
+                                                 wmat=iwmat_poly, twiddle_pos="pre",
+                                                 wmat2=psi_inv_mat, twiddle_pos2="post",
+                                                 canonicalize=True, batch=B,
+                                                 interpret=interpret)
 
                 def _nega_core(a, b):
                     fa = cp2b(ncp1b(_u32cast(a).reshape(bsh)))
@@ -646,6 +705,19 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
                                         direction="dit", inverse_tw=True,
                                         rank1=ipsi_fac, rank1_pos="post",
                                         canonicalize=True, interpret=interpret)
+            elif fold_on:
+                # see batched_builder's fold branch: wmat rides ncp1
+                # 'post_t'; the poly-scale inverse rides icp2p 'post_t'
+                ncp1 = PN.make_colpass(field, n1, n2, reduction=kind,
+                                       direction="dif", wmat=psi_mat,
+                                       twiddle_pos="pre",
+                                       wmat2=np.ascontiguousarray(wmat.T),
+                                       twiddle_pos2="post_t",
+                                       transpose_out=True, interpret=interpret)
+                nicp1 = PN.make_colpass(field, n1, n2, reduction=kind,
+                                        direction="dit", inverse_tw=True,
+                                        wmat=psi_inv_mat, twiddle_pos="post",
+                                        canonicalize=True, interpret=interpret)
             else:
                 ncp1 = PN.make_colpass(field, n1, n2, reduction=kind,
                                        direction="dif", wmat=psi_mat,
@@ -712,6 +784,7 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
         engine=engine,
         reduction=kind,
         wmat_factored=wfac_on,
+        wmat_fold=fold_on,
         _batched_builder=batched_builder,
         # fwd/inv twins are spectral-order only (batched-dict convention)
         fwd_mat=fwd_mat_fn if spectral else None,

@@ -817,3 +817,69 @@ def test_context_make_batched_rejects_mesh():
     ctx = NTTContext(cfg, mesh=mesh)
     with pytest.raises(NotImplementedError, match="dp_axis"):
         ctx.make_batched(4)
+
+
+def test_plan_wmat_fold_matches_default(rng):
+    """wmat_fold plans (round 5: the four-step multiply rides the
+    transposing pass's exit 'post_t' instead of the next pass's entry)
+    must be bit-identical to the default entry placement for
+    fwd/inv/polymul/negacyclic — unbatched, batched, and matrix-form.
+    The multiply commutes with the inter-pass store/load."""
+    from ntt_aie_tpu.plan import build_plan
+
+    for redkind, field in (("harvey4", F.P_469762049),
+                           ("montgomery", F.P_2013265921)):
+        cfg = NTTConfig(field=field, log_n=10, rows_log2=5, negacyclic=True,
+                        reduction=redkind)
+        base = build_plan(cfg, engine="pallas", interpret=True)
+        fold = build_plan(cfg, engine="pallas", interpret=True,
+                          wmat_fold=True)
+        assert fold.wmat_fold and not base.wmat_fold
+        a = rng.integers(0, field.p, cfg.n).astype(np.uint32)
+        b = rng.integers(0, field.p, cfg.n).astype(np.uint32)
+        aj, bj = jnp.asarray(a), jnp.asarray(b)
+        want_f = np.asarray(base.fwd(aj))
+        assert np.array_equal(np.asarray(fold.fwd(aj)), want_f), redkind
+        assert np.array_equal(np.asarray(fold.inv(jnp.asarray(want_f))),
+                              np.asarray(base.inv(jnp.asarray(want_f))))
+        assert np.array_equal(np.asarray(fold.polymul(aj, bj)),
+                              np.asarray(base.polymul(aj, bj))), redkind
+        assert np.array_equal(np.asarray(fold.negacyclic_polymul(aj, bj)),
+                              np.asarray(base.negacyclic_polymul(aj, bj)))
+
+        B = 2
+        n1, n2 = cfg.split
+        ab = np.stack([a, b])
+        bb = np.stack([b, a])
+        bf, bb_ = fold.make_batched(B), base.make_batched(B)
+        assert np.array_equal(np.asarray(bf["fwd"](jnp.asarray(ab))),
+                              np.asarray(bb_["fwd"](jnp.asarray(ab))))
+        assert np.array_equal(
+            np.asarray(bf["negacyclic_polymul"](jnp.asarray(ab),
+                                                jnp.asarray(bb))),
+            np.asarray(bb_["negacyclic_polymul"](jnp.asarray(ab),
+                                                 jnp.asarray(bb))))
+        am = jnp.asarray(ab.reshape(B, n1, n2))
+        assert np.array_equal(np.asarray(bf["fwd_mat"](am)),
+                              np.asarray(bb_["fwd_mat"](am)))
+        # unbatched matrix twins share the folded kernels
+        assert np.array_equal(
+            np.asarray(fold.polymul_mat(jnp.asarray(a.reshape(n1, n2)),
+                                        jnp.asarray(b.reshape(n1, n2)))),
+            np.asarray(base.polymul_mat(jnp.asarray(a.reshape(n1, n2)),
+                                        jnp.asarray(b.reshape(n1, n2)))))
+
+    # fold silently downgrades off-path (xla / factored / fused)
+    assert not build_plan(cfg, engine="xla", wmat_fold=True).wmat_fold
+    assert not build_plan(cfg, engine="pallas", interpret=True,
+                          wmat_factored=True, wmat_fold=True).wmat_fold
+
+
+def test_colpass_post_t_requires_transpose():
+    from ntt_aie_tpu.ops.pallas_ntt import make_colpass
+
+    field = F.P_469762049
+    wm = np.ones((16, 32), dtype=np.int64)
+    with pytest.raises(ValueError, match="post_t"):
+        make_colpass(field, 32, 16, reduction="harvey4", direction="dif",
+                     wmat=wm, twiddle_pos="post_t", interpret=True)
