@@ -85,6 +85,8 @@ _SLOW_TESTS = {
     "test_plan.py::test_reference_parity_partial_depth",
     "test_plan.py::test_colpass_fuse_levels_match",
     "test_plan.py::test_polymul_large_fourstep",
+    "test_plan.py::test_plan_wmat_fold_matches_default",
+    "test_plan.py::test_unbatched_matrix_form_twins",
     "test_crt.py::test_rns_batched_polymul",
 }
 
