@@ -92,6 +92,21 @@ def run_sweep(field, log_ns: Iterable[int], batches: Iterable[int] = (1,), *,
                 a = jnp.asarray(vals, dtype=jnp.uint32)
             res = time_device(fwd, a, iters=iters, repeats=repeats)
             us_per_ntt = res["us_per_iter"] / batch
+            # Matrix-form serving layout alongside the flat contract
+            # (the headline path since round 4; chaining needs a square
+            # split, true for even log_n). None where unavailable.
+            n1_, n2_ = cfg.split
+            mat_us_per_ntt = None
+            fwd_mat = plan.make_batched(batch).get("fwd_mat") \
+                if n2_ > 1 else None
+            if fwd_mat is not None and n1_ == n2_:
+                if big:
+                    am = tuple(v.reshape(batch, n1_, n2_) for v in a)
+                else:
+                    am = a.reshape(batch, n1_, n2_)
+                mres = time_device(fwd_mat, am, iters=iters,
+                                   repeats=repeats)
+                mat_us_per_ntt = round(mres["us_per_iter"] / batch, 4)
             # net of the chained dispatch baseline: kernel-only time, the
             # reference's E2E-minus-dummy subtraction done on our chain
             # methodology (meaningful at small n where dispatch dominates)
@@ -107,6 +122,7 @@ def run_sweep(field, log_ns: Iterable[int], batches: Iterable[int] = (1,), *,
                 "engine": plan.engine,
                 "reduction": plan.reduction,
                 "us_per_ntt": round(us_per_ntt, 4),
+                "mat_us_per_ntt": mat_us_per_ntt,
                 "net_us_per_ntt": round(net_us_per_ntt, 4),
                 "dispatch_us": round(dispatch_chain_us, 4),
                 "ntts_per_sec": round(rep["transforms_per_sec"], 1),

@@ -80,23 +80,28 @@ def main() -> int:
             ("fold", bat_fold["fwd_mat"]),
             ("wide", fwd_wide),
             ("base2", bat_base["fwd_mat"])]
+    def timed(tag, fn, x0, iters=10, key="us_per_ntt"):
+        # transient tunnel/remote-compile hiccups must not lose the
+        # session's earlier arms; report and continue
+        try:
+            res = time_device(fn, x0, iters=iters, repeats=5)
+            us = res["us_per_iter"] / B
+            print(json.dumps({"arm": tag, key: round(us, 2),
+                              "per_sec": round(1e6 / us, 1)}), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"arm": tag,
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+
     for name, fn in arms:
-        res = time_device(fn, x2d, iters=10, repeats=5)
-        us = res["us_per_iter"] / B
-        print(json.dumps({"arm": name, "us_per_ntt": round(us, 2),
-                          "ntts_per_sec": round(1e6 / us, 1)}))
+        timed(name, fn, x2d)
 
     # inverse + polymul under fold (matrix-form), vs base
-    si = jnp.asarray(
-        np.asarray(bat_base["fwd_mat"](x2d)))
+    si = jnp.asarray(np.asarray(bat_base["fwd_mat"](x2d)))
     for name, bat in (("base", bat_base), ("fold", bat_fold)):
-        res = time_device(bat["inv_mat"], si, iters=10, repeats=5)
-        print(json.dumps({"arm": name, "op": "inv_mat",
-                          "us_per_ntt": round(res["us_per_iter"] / B, 2)}))
-        resp = time_device(lambda v: bat["polymul_mat"](v, v), x2d,
-                           iters=4, repeats=4)
-        print(json.dumps({"arm": name, "op": "polymul_mat",
-                          "us_per_poly": round(resp["us_per_iter"] / B, 2)}))
+        timed(f"{name}/inv_mat", bat["inv_mat"], si)
+        timed(f"{name}/polymul_mat", lambda v, _b=bat: _b["polymul_mat"](v, v),
+              x2d, iters=4, key="us_per_poly")
     return 0
 
 
