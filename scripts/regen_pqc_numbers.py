@@ -5,6 +5,11 @@ with the readback-fenced chain methodology from utils/timing. Run on the
 real TPU: ``python scripts/regen_pqc_numbers.py``.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from ntt_aie_tpu.utils.platform import honor_platform_env
