@@ -213,15 +213,12 @@ def cmd_bench(args) -> int:
     cfg = NTTConfig(field=field, log_n=args.log_n)
     plan = build_plan(cfg, engine=args.engine,
                       wmat_factored=True if args.wmat_factored else None,
-                      wmat_fold=bool(getattr(args, "wmat_fold", False)))
+                      wmat_fold=(False if getattr(args, "no_wmat_fold", False)
+                                 else None))
     if args.wmat_factored and not plan.wmat_factored:
         print("warning: --wmat-factored ignored (needs the pallas engine "
               "and a four-step split); timing the full-matrix path",
               file=sys.stderr)
-    if getattr(args, "wmat_fold", False) and not plan.wmat_fold:
-        print("warning: --wmat-fold ignored (needs the pallas engine, a "
-              "four-step split, and full-matrix mode); timing the entry "
-              "placement", file=sys.stderr)
     rng = np.random.default_rng(0)
     batched = plan.make_batched(args.batch)
     big = field.p >= (1 << 32)
@@ -516,10 +513,11 @@ def main(argv=None) -> int:
     pb.add_argument("--wmat-factored", action="store_true",
                     help="factored sqrt-size four-step twiddle tables "
                          "(pallas engine; A/B vs the full-matrix default)")
-    pb.add_argument("--wmat-fold", action="store_true",
-                    help="fold the four-step twiddle multiply into the "
-                         "transposing pass's exit ('post_t'; A/B vs the "
-                         "entry placement — DESIGN.md §2 round-5 A/B)")
+    pb.add_argument("--no-wmat-fold", action="store_true",
+                    help="keep the four-step twiddle multiply at the next "
+                         "pass's ENTRY instead of the default round-5 fold "
+                         "into the transposing pass's exit ('post_t') — "
+                         "the A/B arm, DESIGN.md §2")
     pb.add_argument("--calibrate", action="store_true",
                     help="measure this chip's streaming HBM peak AND (for "
                          "Harvey reductions) its ideal-conditions VPU "

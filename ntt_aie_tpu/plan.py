@@ -109,7 +109,7 @@ def _dev(tables: tuple) -> tuple:
 
 def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = False,
                fused: bool = False, wmat_factored: bool | None = None,
-               wmat_fold: bool = False) -> Plan:
+               wmat_fold: bool | None = None) -> Plan:
     """engine: 'auto' (pallas on TPU, xla elsewhere), 'pallas', 'xla'.
 
     fused=True (pallas engine only) runs BOTH four-step passes in one
@@ -129,14 +129,17 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
     factored, where its wins are unambiguous. Identical canonical
     outputs either way (tested).
 
-    wmat_fold=True (pallas engine, full-matrix mode) folds the
-    four-step twiddle multiply into the TRANSPOSING pass's exit
-    epilogue ('post_t', riding the transposed tile on pass 1's output
-    store) instead of the next pass's entry — pass 2 becomes pure
-    stages + canon, rebalancing the wmat table stream onto the pass
-    with HBM headroom (DESIGN.md §2 candidate). The multiply commutes
-    with the inter-pass store/load, so outputs are bit-identical
-    (tested). Ignored on xla/flat/fused/factored plans.
+    wmat_fold folds the four-step twiddle multiply into the TRANSPOSING
+    pass's exit epilogue ('post_t', riding the transposed tile on pass
+    1's output store) instead of the next pass's entry — pass 2 becomes
+    pure stages + canon, rebalancing the wmat table stream onto the
+    pass with HBM headroom. None = True where it applies (pallas
+    engine, full-matrix mode; ignored elsewhere): the round-5 A/B
+    measured it never worse and better on the inverse (fwd wash, inv
+    −4.4%, polymul −1.5% at B=256; DESIGN.md §2), and the folded plan
+    builds one fewer kernel. wmat_fold=False keeps the entry placement
+    (the A/B arm). The multiply commutes with the inter-pass
+    store/load, so outputs are bit-identical either way (tested).
     """
     field = config.field
     kind = resolve_kind(config.reduction, field)
@@ -188,8 +191,8 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
     # ---- host-side tables ----
     wfac_on = bool(wmat_factored) if wmat_factored is not None else False
     wfac_on = wfac_on and engine == "pallas" and n2 > 1
-    fold_on = (bool(wmat_fold) and engine == "pallas" and n2 > 1
-               and not fused and not wfac_on)
+    fold_on = (wmat_fold if wmat_fold is not None else True) \
+        and engine == "pallas" and n2 > 1 and not fused and not wfac_on
     if n2 > 1:
         if wfac_on and not fused:
             # Factored-twiddle plans apply the four-step multiply from

@@ -47,7 +47,7 @@ def main() -> int:
     a = rng.integers(0, field.p, n).astype(np.uint32)
 
     plans = {}
-    for name, kw in (("full", {}),
+    for name, kw in (("full", {"wmat_fold": False}),
                      ("factored", {"wmat_factored": True}),
                      ("fold", {"wmat_fold": True})):
         try:

@@ -47,7 +47,8 @@ def main() -> int:
     flat = rng.integers(0, field.p, (B, n)).astype(np.uint32)
     x2d = jnp.asarray(flat.reshape(B, n1, n2))
 
-    base = build_plan(cfg, engine="pallas")
+    # fold is the plan default since round 5; base pins the entry placement
+    base = build_plan(cfg, engine="pallas", wmat_fold=False)
     fold = build_plan(cfg, engine="pallas", wmat_fold=True)
     assert fold.wmat_fold
     bat_base = base.make_batched(B)

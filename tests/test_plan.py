@@ -831,9 +831,11 @@ def test_plan_wmat_fold_matches_default(rng):
                            ("montgomery", F.P_2013265921)):
         cfg = NTTConfig(field=field, log_n=10, rows_log2=5, negacyclic=True,
                         reduction=redkind)
-        base = build_plan(cfg, engine="pallas", interpret=True)
-        fold = build_plan(cfg, engine="pallas", interpret=True,
-                          wmat_fold=True)
+        # fold is the DEFAULT since the round-5 A/B (never worse, inv
+        # -4.4%); wmat_fold=False is the entry-placement A/B arm
+        base = build_plan(cfg, engine="pallas", interpret=True,
+                          wmat_fold=False)
+        fold = build_plan(cfg, engine="pallas", interpret=True)
         assert fold.wmat_fold and not base.wmat_fold
         a = rng.integers(0, field.p, cfg.n).astype(np.uint32)
         b = rng.integers(0, field.p, cfg.n).astype(np.uint32)
