@@ -163,7 +163,8 @@ def gl_col_transform(field, nn: int, *, direction: str,
 
 def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
                           interpret: bool = False,
-                          wmat_factored: bool | None = None):
+                          wmat_factored: bool | None = None,
+                          wmat_fold: bool | None = None):
     """Goldilocks plan. Two engines for the four-step column passes:
     'pallas' (ops/pallas_gl.py fused limb kernels — the TPU hot path) and
     'xla' (the gl_dif/dit_stages loops below; runs anywhere).
@@ -175,7 +176,17 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
     operand; the object-array build measured 3.3 s at n=2^22 before the
     round-4 vectorized builder). The inverse multiply rides icp2 'post'
     like the 32-bit plan. None = False (full-matrix, the measured
-    single-chip default); outputs bit-identical either way (tested)."""
+    single-chip default); outputs bit-identical either way (tested).
+
+    wmat_fold (pallas engine, full-matrix mode) is the GL limb analog
+    of plan.py's round-5 fold: the four-step gl_mul rides the
+    TRANSPOSING pass's exit ('post_t') — forward on cp1, inverse on
+    icp2 — instead of the next pass's entry. Bit-identical (the
+    multiply commutes with the inter-pass store/load; tested).
+    None = True where it applies, like the 32-bit plan: the GL A/B
+    (scripts/bench_gl_fold.py, one session interleaved) read never
+    worse — fwd 1337/1361 vs 1350/1461 µs/NTT, inv 1078/1113 vs
+    1117/1164 (−2..−7%). False keeps the entry placement (A/B arm)."""
     from ntt_aie_tpu.plan import Plan  # avoid import cycle at module load
 
     if engine == "auto":
@@ -189,6 +200,8 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
     fwd_mat_core = None        # unbatched matrix-form twins, same branch
     wfac_on = bool(wmat_factored) if wmat_factored is not None else False
     wfac_on = wfac_on and engine == "pallas" and n2 > 1
+    fold_on = (wmat_fold if wmat_fold is not None else True) \
+        and engine == "pallas" and n2 > 1 and not wfac_on
 
     if n2 > 1:
         if wfac_on:
@@ -216,8 +229,9 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
             # exponent axis) and icp1 carries no table.
             def _mk_passes_gl(B=1):
                 kwb = dict(batch=B, interpret=interpret)
-                cp1_ = make_gl_colpass(field, n1, n2, direction="dif",
-                                       transpose_out=True, **kwb)
+                if not fold_on:
+                    cp1_ = make_gl_colpass(field, n1, n2, direction="dif",
+                                           transpose_out=True, **kwb)
                 if wfac_on:
                     cp2_ = make_gl_colpass(field, n2, n1, direction="dif",
                                            wfac=wf_f, wfac_pos="pre", **kwb)
@@ -225,6 +239,22 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
                                             inverse_tw=True, wfac=wf_i,
                                             wfac_pos="post",
                                             transpose_out=True, **kwb)
+                    icp1_ = make_gl_colpass(field, n1, n2, direction="dit",
+                                            inverse_tw=True, **kwb)
+                elif fold_on:
+                    # fold: the four-step gl_mul rides the transposing
+                    # pass's exit ('post_t'); the other pass is stages-only
+                    cp1_ = make_gl_colpass(field, n1, n2, direction="dif",
+                                           transpose_out=True,
+                                           wmat=np.ascontiguousarray(wmat.T),
+                                           twiddle_pos="post_t", **kwb)
+                    cp2_ = make_gl_colpass(field, n2, n1, direction="dif",
+                                           **kwb)
+                    icp2_ = make_gl_colpass(field, n2, n1, direction="dit",
+                                            inverse_tw=True,
+                                            transpose_out=True,
+                                            wmat=iwmat_scaled,
+                                            twiddle_pos="post_t", **kwb)
                     icp1_ = make_gl_colpass(field, n1, n2, direction="dit",
                                             inverse_tw=True, **kwb)
                 else:
@@ -506,6 +536,7 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
         engine=engine if n2 > 1 else "xla",  # flat path has no pallas kernels
         reduction="goldilocks",
         wmat_factored=wfac_on,
+        wmat_fold=fold_on,
         _batched_builder=batched_builder,
         **mat_kw,
     )

@@ -35,7 +35,11 @@ def build_gl_colpass(
     n1: int,
     n2: int,
     direction: str,  # 'dif' | 'dit'
-    twiddle_pos: str = "none",  # 'none' | 'pre' | 'post'
+    twiddle_pos: str = "none",  # 'none' | 'pre' | 'post' | 'post_t'
+    # ('post_t' = after the fused output transpose, operand in the
+    # transposed (n2, n1) orientation blocked like the output — the
+    # wmat_fold position, mirrors ops/pallas_ntt round 5; requires
+    # transpose_out=True)
     twiddle_pos2: str = "none",  # optional SECOND matrix multiply (e.g. a
     # 'pre' negacyclic psi alongside a 'post' four-step wmat) — mirrors
     # ops/pallas_ntt.build_colpass's twiddle_pos2
@@ -79,6 +83,10 @@ def build_gl_colpass(
     assert logn == n1.bit_length() - 1
     nested = len(phases_ts) == 2
     R_mid, S_mid = mid_rs
+    has_post_t = "post_t" in (twiddle_pos, twiddle_pos2)
+    if has_post_t and not transpose_out:
+        raise ValueError("twiddle_pos 'post_t' multiplies the transposed "
+                         "output tile; it requires transpose_out=True")
     gmul = M.gl_mul if mul_impl == "schoolbook" else M.gl_mul_kara
     S = wfac_split
     if wfac_pos != "none" and not (0 < S < n1 and n1 % S == 0):
@@ -294,6 +302,12 @@ def build_gl_colpass(
         if transpose_out:
             h = h.T
             l = l.T
+        # post_t: multiply the already-transposed tile (operands arrive
+        # output-blocked) — the wmat_fold position
+        if twiddle_pos == "post_t":
+            h, l = _mul_mat(h, l, wmat_refs)
+        if twiddle_pos2 == "post_t":
+            h, l = _mul_mat(h, l, wmat2_refs)
         oh_ref[:] = h.reshape(oh_ref.shape)
         ol_ref[:] = l.reshape(ol_ref.shape)
 
@@ -301,6 +315,8 @@ def build_gl_colpass(
         x_spec = pl.BlockSpec((n1, block_lanes), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
         wmat_spec = x_spec
+        wmat_t_spec = pl.BlockSpec((block_lanes, n1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
         tw_specs = [
             pl.BlockSpec((t, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
             for t in ts for _ in range(2)
@@ -330,6 +346,8 @@ def build_gl_colpass(
                               memory_space=pltpu.VMEM)
         wmat_spec = pl.BlockSpec((n1, block_lanes), lambda i, b: (0, i),
                                  memory_space=pltpu.VMEM)
+        wmat_t_spec = pl.BlockSpec((block_lanes, n1), lambda i, b: (i, 0),
+                                   memory_space=pltpu.VMEM)
         tw_specs = [
             pl.BlockSpec((t, 1), lambda i, b: (0, 0), memory_space=pltpu.VMEM)
             for t in ts for _ in range(2)
@@ -357,7 +375,10 @@ def build_gl_colpass(
         full_grid = (grid, batch)
 
     in_specs = [x_spec, x_spec] + tw_specs
-    in_specs.extend([wmat_spec, wmat_spec] * ((n_wm1 + n_wm2) // 2))
+    wm1_spec = wmat_t_spec if twiddle_pos == "post_t" else wmat_spec
+    wm2_spec = wmat_t_spec if twiddle_pos2 == "post_t" else wmat_spec
+    in_specs.extend([wm1_spec, wm1_spec] * (n_wm1 // 2))
+    in_specs.extend([wm2_spec, wm2_spec] * (n_wm2 // 2))
     in_specs.extend(wfac_specs)
     in_specs.extend(rank1_specs)
 

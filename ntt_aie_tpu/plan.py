@@ -151,7 +151,8 @@ def build_plan(config: NTTConfig, *, engine: str = "auto", interpret: bool = Fal
 
         return build_goldilocks_plan(config, engine=engine,
                                      interpret=interpret,
-                                     wmat_factored=wmat_factored)
+                                     wmat_factored=wmat_factored,
+                                     wmat_fold=wmat_fold)
 
     requested_engine = engine
     if engine == "auto":

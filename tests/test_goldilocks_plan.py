@@ -293,3 +293,40 @@ def test_gl_unbatched_matrix_form_twins(rng):
 
     # xla engine has no matrix-form kernels
     assert build_goldilocks_plan(cfg, engine="xla").fwd_mat is None
+
+
+def test_gl_wmat_fold_matches_default(rng):
+    """GL wmat_fold plans (round 5: the four-step gl_mul rides the
+    transposing pass's exit 'post_t') are bit-identical to the entry
+    placement for fwd/inv/polymul, unbatched + batched + matrix-form."""
+    from ntt_aie_tpu.goldilocks_plan import build_goldilocks_plan
+
+    cfg = NTTConfig(field=GL, log_n=9, rows_log2=4)
+    # fold is the GL default too since its own never-worse A/B
+    # (scripts/bench_gl_fold.py); False is the entry-placement arm
+    base = build_goldilocks_plan(cfg, engine="pallas", interpret=True,
+                                 wmat_fold=False)
+    fold = build_goldilocks_plan(cfg, engine="pallas", interpret=True)
+    assert fold.wmat_fold and not base.wmat_fold
+    n1, n2 = cfg.split
+    a = _rand(rng, cfg.n)
+    b = _rand(rng, cfg.n)
+
+    want = np.asarray(base.fwd(a))
+    assert np.array_equal(np.asarray(fold.fwd(a)), want)
+    assert np.array_equal(np.asarray(fold.inv(want)), a)
+    assert np.array_equal(np.asarray(fold.polymul(a, b)),
+                          np.asarray(base.polymul(a, b)))
+
+    B = 2
+    ab = np.stack([a, b])
+    bf, bb = fold.make_batched(B), base.make_batched(B)
+    assert np.array_equal(np.asarray(bf["fwd"](ab)), np.asarray(bb["fwd"](ab)))
+    fm = np.asarray(bf["fwd_mat"](ab.reshape(B, n1, n2)))
+    assert np.array_equal(fm, np.asarray(bb["fwd_mat"](ab.reshape(B, n1, n2))))
+    assert np.array_equal(np.asarray(bf["inv_mat"](fm)).reshape(B, cfg.n), ab)
+
+    # factored downgrade: fold only applies in full-matrix mode
+    assert not build_goldilocks_plan(cfg, engine="pallas", interpret=True,
+                                     wmat_factored=True,
+                                     wmat_fold=True).wmat_fold
