@@ -396,11 +396,14 @@ def cmd_trace(args) -> int:
     if method == "profiler" and op in ("fwd", "inv"):
         from ntt_aie_tpu.profiling.roofline import derive_trace_counters
 
-        # The wmat pre-multiply rides the SECOND executed pass in both
-        # directions (cp2 / icp1, plan.py); full-matrix mode streams 2
-        # extra n-sized tables there (packed Shoup halves for harvey4,
-        # hi/lo limb planes for GL); factored tables are ~sqrt-size.
+        # Full-matrix mode streams 2 extra n-sized tables (packed Shoup
+        # halves for harvey4, hi/lo limb planes for GL) on ONE pass:
+        # since the round-5 fold default they ride the FIRST executed
+        # pass (the transposing one — cp1 fwd / icp2 inv); the entry
+        # placement (wmat_fold=False plans) put them on the second.
+        # Factored tables are ~sqrt-size (counted as 0 here).
         wmat_bytes = 0 if args.wmat_factored else 2 * cfg.n * 4
+        wmat_pass = 0 if getattr(plan, "wmat_fold", False) else 1
         # Per-pass stage counts in TIME order: forward runs the n1-point
         # columns first (cp1 then cp2); the inverse mirror runs n2 first.
         n1_, n2_ = cfg.split
@@ -409,7 +412,8 @@ def cmd_trace(args) -> int:
         derived = derive_trace_counters(
             rows, n=cfg.n, itemsize=8 if big else 4,
             stages_per_pass=stages,
-            pass_table_bytes=(0, wmat_bytes),
+            pass_table_bytes=((wmat_bytes, 0) if wmat_pass == 0
+                              else (0, wmat_bytes)),
             vpu_bfly=0 if big else None)  # no measured GL limb ideal yet
         for d in derived:
             comp = (f"({d['vpu_utilization']:.0%} of calibrated VPU ideal), "
@@ -430,6 +434,7 @@ def cmd_trace(args) -> int:
             "device_kind": jax.devices()[0].device_kind,
             "backend": jax.default_backend(),
             "wmat_factored": bool(args.wmat_factored),
+            "wmat_fold": bool(getattr(plan, "wmat_fold", False)),
             "ops": rows,
         }
         if derived:

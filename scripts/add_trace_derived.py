@@ -41,10 +41,15 @@ def main(paths) -> int:
         logn = payload["log_n"]
         s1, s2 = logn // 2, logn - logn // 2
         stages = (s1, s2) if payload.get("op", "fwd") == "fwd" else (s2, s1)
+        # wmat-byte attribution: the round-5 fold default moves the
+        # table stream to the FIRST executed pass; legacy payloads
+        # (no 'wmat_fold' field) predate the fold = entry placement.
+        wb = 0 if factored else 2 * n * 4
+        tbytes = (wb, 0) if payload.get("wmat_fold", False) else (0, wb)
         derived = derive_trace_counters(
             payload["ops"], n=n, itemsize=8 if big else 4,
             stages_per_pass=stages,
-            pass_table_bytes=(0, 0 if factored else 2 * n * 4),
+            pass_table_bytes=tbytes,
             vpu_bfly=0 if big else None)
         if not derived:
             print(f"{path}: no pass ops found")
