@@ -330,3 +330,28 @@ def test_gl_wmat_fold_matches_default(rng):
     assert not build_goldilocks_plan(cfg, engine="pallas", interpret=True,
                                      wmat_factored=True,
                                      wmat_fold=True).wmat_fold
+
+
+def test_gl_context_matrix_form_surface(rng):
+    """NTTContext's matrix-form delegates work for Goldilocks configs
+    (uint64 matrices in/out through the limb conversion)."""
+    from ntt_aie_tpu.api import NTTContext
+    from ntt_aie_tpu.ops import modops as M
+
+    cfg = NTTConfig(field=GL, log_n=9, rows_log2=4)
+    ctx = NTTContext(cfg, engine="pallas", interpret=True)
+    n1, n2 = cfg.split
+    a = _rand(rng, cfg.n)
+    fm = np.asarray(ctx.forward_mat(a.reshape(n1, n2)))
+    assert fm.shape == (n2, n1) and fm.dtype == np.uint64
+    assert np.array_equal(fm.reshape(cfg.n), np.asarray(ctx.forward(a)))
+    assert np.array_equal(np.asarray(ctx.inverse_mat(fm)).reshape(cfg.n), a)
+    pm = np.asarray(ctx.polymul_mat(a.reshape(n1, n2), a.reshape(n1, n2)))
+    assert np.array_equal(pm.reshape(cfg.n), np.asarray(ctx.polymul(a, a)))
+    bat = ctx.make_batched(2)
+    ab = np.stack([a, a])
+    assert np.array_equal(
+        np.asarray(M.gl_to_u64(*bat["fwd_mat"](
+            tuple(v.reshape(2, n1, n2) for v in M.gl_from_u64(ab))))
+        ).reshape(2, cfg.n),
+        np.asarray(bat["fwd"](ab)))
