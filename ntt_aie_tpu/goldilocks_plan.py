@@ -505,6 +505,35 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
             "inv": _wrap1(lambda hl: binv(*hl)),
             "polymul": _wrap2(lambda a, b: bmul(*a, *b)),
         }
+        if config.negacyclic and nega_core is not None:
+            # batched negacyclic (round 5: parity with plan.py's batched
+            # dicts): psi limb vectors broadcast over the batch; the psi
+            # multiplies are jitted (the _pointwise lesson)
+            if make_batched_cores is not None:
+                def bnega_core(ah, al, bh, bl):
+                    tah, tal = jgl_mul(ah, al, *psi)
+                    tbh, tbl = jgl_mul(bh, bl, *psi)
+                    ch, cl = bmul(tah, tal, tbh, tbl)
+                    return jgl_mul(ch, cl, *psi_inv)
+
+                out["negacyclic_polymul"] = _wrap2(
+                    lambda a, b: bnega_core(*a, *b))
+                if fwd2d_b is not None:
+                    psi_m = tuple(v.reshape(n1, n2) for v in psi)
+                    psi_im = tuple(v.reshape(n1, n2) for v in psi_inv)
+
+                    def bnega2d_core(ah, al, bh, bl):
+                        tah, tal = jgl_mul(ah, al, *psi_m)
+                        tbh, tbl = jgl_mul(bh, bl, *psi_m)
+                        ch, cl = bmul2d_core(tah, tal, tbh, tbl)
+                        return jgl_mul(ch, cl, *psi_im)
+
+                    out["negacyclic_polymul_mat"] = _wrap2(
+                        lambda a, b: bnega2d_core(*a, *b))
+            else:
+                bnega_v = jax.jit(jax.vmap(nega_core))
+                out["negacyclic_polymul"] = _wrap2(
+                    lambda a, b: bnega_v(*a, *b))
         if fwd2d_b is not None:
             # matrix-form callables (plan.py contract: fwd_mat (B, n1, n2)
             # natural-layout -> (B, n2, n1) spectral, inv_mat converse,
@@ -525,6 +554,18 @@ def build_goldilocks_plan(config: NTTConfig, *, engine: str = "auto",
         if config.ordering == "bitrev":
             mat_kw["fwd_mat"] = _wrap1(lambda hl: fwd_mat_core(*hl))
             mat_kw["inv_mat"] = _wrap1(lambda hl: inv_mat_core(*hl))
+        if config.negacyclic:
+            psi_m1 = tuple(v.reshape(n1, n2) for v in psi)
+            psi_im1 = tuple(v.reshape(n1, n2) for v in psi_inv)
+
+            def nega_mat_core(ah, al, bh, bl):
+                tah, tal = _jgl_mul1(ah, al, *psi_m1)
+                tbh, tbl = _jgl_mul1(bh, bl, *psi_m1)
+                ch, cl = polymul_mat_core(tah, tal, tbh, tbl)
+                return _jgl_mul1(ch, cl, *psi_im1)
+
+            mat_kw["negacyclic_polymul_mat"] = _wrap2(
+                lambda a, b: nega_mat_core(*a, *b))
 
     return Plan(
         config=config,

@@ -355,3 +355,50 @@ def test_gl_context_matrix_form_surface(rng):
             tuple(v.reshape(2, n1, n2) for v in M.gl_from_u64(ab))))
         ).reshape(2, cfg.n),
         np.asarray(bat["fwd"](ab)))
+
+
+def test_gl_batched_negacyclic(rng):
+    """GL batched negacyclic (round 5: parity with the 32-bit batched
+    dicts): pallas four-step (flat + matrix-form), flat-split
+    batch-to-lanes, and the vmap fallback all match the schoolbook."""
+    from ntt_aie_tpu.goldilocks_plan import build_goldilocks_plan
+
+    B = 2
+    # pallas four-step
+    cfg = NTTConfig(field=GL, log_n=8, rows_log2=4, negacyclic=True)
+    n1, n2 = cfg.split
+    plan = build_goldilocks_plan(cfg, engine="pallas", interpret=True)
+    bat = plan.make_batched(B)
+    a = np.stack([_rand(rng, cfg.n) for _ in range(B)])
+    b = np.stack([_rand(rng, cfg.n) for _ in range(B)])
+    got = np.asarray(bat["negacyclic_polymul"](a, b))
+    for r in range(B):
+        want = ref.schoolbook_negacyclic(a[r].astype(object),
+                                         b[r].astype(object), GL.p)
+        assert np.array_equal(got[r].astype(object), want.astype(object))
+        assert np.array_equal(got[r],
+                              np.asarray(plan.negacyclic_polymul(a[r], b[r])))
+    gm = np.asarray(bat["negacyclic_polymul_mat"](a.reshape(B, n1, n2),
+                                                  b.reshape(B, n1, n2)))
+    assert np.array_equal(gm.reshape(B, cfg.n), got)
+    # unbatched matrix twin
+    g1 = np.asarray(plan.negacyclic_polymul_mat(a[0].reshape(n1, n2),
+                                                b[0].reshape(n1, n2)))
+    assert np.array_equal(g1.reshape(cfg.n), got[0])
+
+    # flat split (batch-to-lanes cores)
+    cfg_f = NTTConfig(field=GL, log_n=7, negacyclic=True)
+    assert cfg_f.split[1] == 1
+    bat_f = build_goldilocks_plan(cfg_f).make_batched(B)
+    af = np.stack([_rand(rng, cfg_f.n) for _ in range(B)])
+    bf = np.stack([_rand(rng, cfg_f.n) for _ in range(B)])
+    got_f = np.asarray(bat_f["negacyclic_polymul"](af, bf))
+    for r in range(B):
+        want = ref.schoolbook_negacyclic(af[r].astype(object),
+                                         bf[r].astype(object), GL.p)
+        assert np.array_equal(got_f[r].astype(object), want.astype(object))
+
+    # xla four-step engine (vmap fallback)
+    bat_x = build_goldilocks_plan(cfg, engine="xla").make_batched(B)
+    got_x = np.asarray(bat_x["negacyclic_polymul"](a, b))
+    assert np.array_equal(got_x, got)
