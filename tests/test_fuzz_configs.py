@@ -36,17 +36,21 @@ def _cases():
         # factored four-step twiddles ~1/3 of the time (pallas four-step
         # only; silently full-matrix elsewhere, which is also worth fuzzing)
         wfac = bool(rng.random() < 0.33)
+        # wmat_fold defaults True since round 5; force the entry
+        # placement ~1/3 of the time so BOTH placements stay fuzzed
+        nofold = bool(rng.random() < 0.33)
         yield pytest.param(field, log_n, rows_log2, ordering, engine, red,
-                           wfac,
+                           wfac, nofold,
                            id=f"{i}-{field.name}-n{log_n}-r{rows_log2}-"
                               f"{ordering}-{engine}-{red}"
-                              f"{'-wfac' if wfac else ''}")
+                              f"{'-wfac' if wfac else ''}"
+                              f"{'-nofold' if nofold else ''}")
 
 
-@pytest.mark.parametrize("field,log_n,rows_log2,ordering,engine,red,wfac",
-                         _cases())
+@pytest.mark.parametrize(
+    "field,log_n,rows_log2,ordering,engine,red,wfac,nofold", _cases())
 def test_fuzzed_config(field, log_n, rows_log2, ordering, engine, red,
-                       wfac, rng):
+                       wfac, nofold, rng):
     if (1 << log_n) > field.max_n:
         pytest.skip("n exceeds field")
     cfg = NTTConfig(field=field, log_n=log_n, rows_log2=rows_log2,
@@ -55,7 +59,8 @@ def test_fuzzed_config(field, log_n, rows_log2, ordering, engine, red,
     if engine == "pallas" and n2 == 1:
         engine = "xla"  # flat path has no pallas kernels
     plan = build_plan(cfg, engine=engine, interpret=(engine == "pallas"),
-                      wmat_factored=wfac or None)
+                      wmat_factored=wfac or None,
+                      wmat_fold=False if nofold else None)
     a = rng.integers(0, field.p, cfg.n)
     aj = jnp.asarray(a, dtype=jnp.uint32)
     flat = np.asarray(plan.fwd(aj))
