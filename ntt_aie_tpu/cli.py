@@ -409,12 +409,18 @@ def cmd_trace(args) -> int:
         n1_, n2_ = cfg.split
         s1, s2 = n1_.bit_length() - 1, n2_.bit_length() - 1
         stages = (s1, s2) if op == "fwd" else (s2, s1)
+        from ntt_aie_tpu.profiling.roofline import (
+            MEASURED_CAL_V5E_PARTITION as _CAL,
+        )
+
         derived = derive_trace_counters(
             rows, n=cfg.n, itemsize=8 if big else 4,
             stages_per_pass=stages,
             pass_table_bytes=((wmat_bytes, 0) if wmat_pass == 0
                               else (0, wmat_bytes)),
-            vpu_bfly=0 if big else None)  # no measured GL limb ideal yet
+            # GL compute plane vs the measured limb-butterfly ideal
+            # (measure_vpu_peak(reduction='goldilocks'), round 5)
+            vpu_bfly=_CAL["gl_vpu_bfly_per_sec"] if big else None)
         for d in derived:
             comp = (f"({d['vpu_utilization']:.0%} of calibrated VPU ideal), "
                     if "vpu_utilization" in d else "")

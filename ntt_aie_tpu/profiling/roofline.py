@@ -130,7 +130,9 @@ def measure_vpu_peak(*, reduction: str = "harvey4", mb: int = 32,
                      cache: bool = True) -> dict:
     """Calibrated VPU butterfly peak: the EXACT butterfly arithmetic of the
     NTT kernels (ops/reductions.py add / sub_for_mul / mul_const — e.g.
-    harvey4's 5-mul approximate-Shoup multiply) chained R deep per element
+    harvey4's 5-mul approximate-Shoup multiply; for
+    reduction='goldilocks' the gl_add/gl_sub/gl_mul limb-pair butterfly)
+    chained R deep per element
     with zero network overhead: no reshapes, no concats, no per-stage
     twiddle table streaming, no transpose. What this measures is the
     achievable ideal-conditions butterfly issue rate of THIS chip's vector
@@ -163,6 +165,74 @@ def measure_vpu_peak(*, reduction: str = "harvey4", mb: int = 32,
     from ntt_aie_tpu.fields import P_469762049, P_998244353
     from ntt_aie_tpu.ops.reductions import make_reduction
     from ntt_aie_tpu.utils.timing import time_device
+
+    if reduction == "goldilocks":
+        # Limb-pair butterfly ideal (round 5 — closes the "no measured GL
+        # limb ideal" gap): the EXACT gl_add/gl_sub/gl_mul arithmetic of
+        # the GL kernels chained r deep on (hi, lo) uint32 planes, zero
+        # network overhead, same methodology as the word-prime probe.
+        from ntt_aie_tpu.fields import GOLDILOCKS
+        from ntt_aie_tpu.ops import modops as M
+
+        # ~lane-ops per GL butterfly for the Gops conversion only:
+        # gl_mul ~70 (4 partials + reduce128) + add/sub ~6 each.
+        ops_per_bfly = 82
+        n = mb * 1024 * 1024 // 4
+        q = n // 4  # four uint32 planes: uh, ul, wh, wl
+        rng = np.random.default_rng(0)
+        vals = (rng.integers(0, 1 << 63, 2 * q, dtype=np.uint64)
+                % np.uint64(GOLDILOCKS.p))
+        uh0, ul0 = M.gl_from_u64(vals[:q])
+        wh0, wl0 = M.gl_from_u64(vals[q:])
+        x = jnp.concatenate([jnp.asarray(v) for v in (uh0, ul0, wh0, wl0)])
+        tw_v = (rng.integers(1, 1 << 63, 8, dtype=np.uint64)
+                % np.uint64(GOLDILOCKS.p))
+        twh, twl = (jnp.asarray(v.reshape(8, 1))
+                    for v in M.gl_from_u64(tw_v))
+        K = 4
+
+        def step(v):
+            qq = v.shape[0] // 4  # static per trace
+            uh = v[:qq].reshape(8, -1)
+            ul = v[qq:2 * qq].reshape(8, -1)
+            wh = v[2 * qq:3 * qq].reshape(8, -1)
+            wl = v[3 * qq:].reshape(8, -1)
+            for _ in range(K):
+                for _ in range(r):
+                    sh, sl = M.gl_add(uh, ul, wh, wl)
+                    dh, dl = M.gl_sub(uh, ul, wh, wl)
+                    mh, ml = M.gl_mul(dh, dl, twh, twl)
+                    uh, ul, wh, wl = sh, sl, mh, ml
+                uh, ul, wh, wl = jax.lax.optimization_barrier(
+                    (uh, ul, wh, wl))
+            return jnp.concatenate([z.reshape(-1)
+                                    for z in (uh, ul, wh, wl)])
+
+        res = time_device(jax.jit(step), x, iters=iters, repeats=repeats)
+        tiny = jnp.concatenate([jnp.asarray(v) for v in
+                                M.gl_from_u64(vals[:1024])]
+                               + [jnp.asarray(v) for v in
+                                  M.gl_from_u64(vals[1024:2048])])
+        base = time_device(jax.jit(step), tiny, iters=iters,
+                           repeats=repeats)
+        net_us = max(res["us_per_iter"] - base["us_per_iter"],
+                     res["us_per_iter"] * 0.2)
+        bfly_per_dispatch = K * r * q
+        out = {
+            "butterflies_per_sec": bfly_per_dispatch / (net_us * 1e-6),
+            "raw_butterflies_per_sec": bfly_per_dispatch
+            / (res["us_per_iter"] * 1e-6),
+            "lane_gops": bfly_per_dispatch * ops_per_bfly
+            / (net_us * 1e-6) / 1e9,
+            "dispatch_us_per_op": base["us_per_iter"],
+            "us_per_pass": res["us_per_iter"] / K,
+            "reduction": reduction,
+            "r": r,
+            "buffer_mb": mb,
+        }
+        if cache:
+            _measured_vpu_cache[key] = out
+        return out
 
     field = P_469762049 if reduction == "harvey4" else P_998244353
     red = make_reduction(reduction, field)
@@ -227,6 +297,12 @@ def measure_vpu_peak(*, reduction: str = "harvey4", mb: int = 32,
 MEASURED_CAL_V5E_PARTITION = {
     "hbm_gbps": 700.0,          # marginal, dispatch-amortized (round 2)
     "vpu_bfly_per_sec": 245e9,  # midpoint of the 221-273 Gbf/s ideal (r4)
+    # measure_vpu_peak(reduction='goldilocks'), round 5: the exact limb
+    # butterfly (gl_add/gl_sub/gl_mul, ~82 lane-ops) at zero network
+    # overhead — 17.90/17.89 Gbf/s across interleaved rounds (~1.47 T
+    # lane-op/s: the carry/select dependency chains of the 128-bit
+    # reduce cap issue rate well below the 32-bit probe's 3.8-4.6 T)
+    "gl_vpu_bfly_per_sec": 17.9e9,
 }
 
 _MOVEMENT_PREFIXES = (
@@ -263,10 +339,10 @@ def derive_trace_counters(rows: list[dict], *, n: int, batch: int = 1,
     an uneven n1/n2 split or an inverse trace (pass order swaps) should
     pass the real per-pass stage counts (cli.py does).
     Denominators default to the build machine's measured calibration
-    (MEASURED_CAL_V5E_PARTITION) — pass live values to override, or
-    vpu_bfly=0 to omit the VPU plane (the calibrated ideal is
-    harvey4-specific; Goldilocks limb butterflies have no measured
-    ideal yet, so their compute plane would be dishonest)."""
+    (MEASURED_CAL_V5E_PARTITION) — pass live values to override (the
+    default vpu_bfly is harvey4-specific; Goldilocks callers pass the
+    measured limb ideal, MEASURED_CAL's gl_vpu_bfly_per_sec, as cli.py
+    does), or vpu_bfly=0 to omit the compute plane."""
     cand = [
         r for r in rows
         if r.get("count") == 1

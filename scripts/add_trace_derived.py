@@ -46,11 +46,15 @@ def main(paths) -> int:
         # (no 'wmat_fold' field) predate the fold = entry placement.
         wb = 0 if factored else 2 * n * 4
         tbytes = (wb, 0) if payload.get("wmat_fold", False) else (0, wb)
+        from ntt_aie_tpu.profiling.roofline import (
+            MEASURED_CAL_V5E_PARTITION as _CAL,
+        )
+
         derived = derive_trace_counters(
             payload["ops"], n=n, itemsize=8 if big else 4,
             stages_per_pass=stages,
             pass_table_bytes=tbytes,
-            vpu_bfly=0 if big else None)
+            vpu_bfly=_CAL["gl_vpu_bfly_per_sec"] if big else None)
         if not derived:
             print(f"{path}: no pass ops found")
             continue
